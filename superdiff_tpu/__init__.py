@@ -1,0 +1,28 @@
+"""superdiff_tpu — a TPU-native JAX framework for chest X-ray diffusion.
+
+A from-scratch rebuild of the capability surface of the reference
+``mo-rsa24/super-diff-disease`` (PyTorch, single-GPU), redesigned TPU-first:
+
+- pure-function diffusion math (``diffusion/``): beta schedules, forward
+  process, epsilon-MSE losses (reference: ``src/models/ddpm.py``),
+- Flax NHWC UNets (``models/``): a parity model matching the reference's tiny
+  CNN (``src/models/unet.py``) and a real class-conditional DDPM UNet,
+- compiled samplers (``diffusion/samplers.py``): DDPM ancestral + DDIM as a
+  single ``lax.scan`` (reference stub: ``src/sampling.py`` is empty),
+- SuperDiff Itô density superposition (``diffusion/superdiff.py``) — the
+  capability the reference's README declares but never implements,
+- sharded training/sampling over a ``jax.sharding.Mesh`` (``parallel/``),
+- Pallas TPU kernels for the hot ops (``ops/``),
+- data pipeline with on-device augmentation (``data/``; reference:
+  ``src/transforms.py``, ``src/data/dataset.py``),
+- training engine with EMA + Orbax checkpointing (``training/``; reference:
+  ``src/train/training_logic.py``),
+- analysis suite: t-SNE/UMAP projections, Grad-CAM (``analysis/``; reference:
+  ``src/visualization/``).
+"""
+
+__version__ = "0.1.0"
+
+from superdiff_tpu.diffusion.schedules import DiffusionSchedule, make_schedule
+
+__all__ = ["DiffusionSchedule", "make_schedule", "__version__"]

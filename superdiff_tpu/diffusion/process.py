@@ -1,0 +1,94 @@
+"""Forward diffusion process and training losses (pure functions).
+
+Reference semantics: ``src/models/ddpm.py:13-29`` —
+``q_sample(x0, t, eps) = sqrt(ab_t) x0 + sqrt(1-ab_t) eps``;
+``p_losses`` is the epsilon-prediction MSE; ``training_step`` draws uniform
+timesteps per batch element. Here everything is functional: the model is an
+apply function ``(x_t, t, *cond) -> eps_hat`` and RNG is explicit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from superdiff_tpu.diffusion.schedules import DiffusionSchedule
+
+# Model apply signature used throughout the framework:
+#   eps_hat = model_fn(x_t, t)               (unconditional)
+#   eps_hat = model_fn(x_t, t, y)            (class-conditional)
+ModelFn = Callable[..., jnp.ndarray]
+
+
+def _bcast_to(coeff: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast a per-batch coefficient ``(B,)`` over image dims of ``x``."""
+    return coeff.reshape(coeff.shape + (1,) * (x.ndim - 1))
+
+
+def q_sample(schedule: DiffusionSchedule,
+             x_start: jnp.ndarray,
+             t: jnp.ndarray,
+             noise: jnp.ndarray) -> jnp.ndarray:
+    """Diffuse ``x_start`` to timestep ``t``: ``sqrt(ab) x0 + sqrt(1-ab) eps``.
+
+    ``t`` is integer, shape ``(B,)``; images are NHWC (TPU-native layout).
+    Matches ``src/models/ddpm.py:13-17``.
+    """
+    sqrt_ab = _bcast_to(schedule.sqrt_alpha_bars[t], x_start)
+    sqrt_1mab = _bcast_to(schedule.sqrt_one_minus_alpha_bars[t], x_start)
+    return sqrt_ab * x_start + sqrt_1mab * noise
+
+
+def predict_x0_from_eps(schedule: DiffusionSchedule,
+                        x_t: jnp.ndarray,
+                        t: jnp.ndarray,
+                        eps: jnp.ndarray) -> jnp.ndarray:
+    """Invert ``q_sample``: ``x0 = (x_t - sqrt(1-ab) eps) / sqrt(ab)``."""
+    sqrt_ab = _bcast_to(schedule.sqrt_alpha_bars[t], x_t)
+    sqrt_1mab = _bcast_to(schedule.sqrt_one_minus_alpha_bars[t], x_t)
+    return (x_t - sqrt_1mab * eps) / sqrt_ab
+
+
+def p_losses(schedule: DiffusionSchedule,
+             model_fn: ModelFn,
+             x_start: jnp.ndarray,
+             t: jnp.ndarray,
+             rng: jax.Array,
+             y: Optional[jnp.ndarray] = None,
+             loss_type: str = "mse") -> jnp.ndarray:
+    """Epsilon-prediction loss at given timesteps.
+
+    Reference: ``src/models/ddpm.py:20-24`` (MSE only). ``huber`` added for
+    the extended capability surface.
+    """
+    noise = jax.random.normal(rng, x_start.shape, dtype=x_start.dtype)
+    x_noisy = q_sample(schedule, x_start, t, noise)
+    args = (x_noisy, t) if y is None else (x_noisy, t, y)
+    eps_hat = model_fn(*args)
+    # Loss reduced in float32 even under bf16 compute.
+    diff = (eps_hat.astype(jnp.float32) - noise.astype(jnp.float32))
+    if loss_type == "mse":
+        return jnp.mean(diff ** 2)
+    elif loss_type == "huber":
+        return jnp.mean(jnp.where(jnp.abs(diff) < 1.0,
+                                  0.5 * diff ** 2,
+                                  jnp.abs(diff) - 0.5))
+    raise ValueError(f"unknown loss_type: {loss_type!r}")
+
+
+def training_step(schedule: DiffusionSchedule,
+                  model_fn: ModelFn,
+                  x: jnp.ndarray,
+                  rng: jax.Array,
+                  y: Optional[jnp.ndarray] = None,
+                  loss_type: str = "mse") -> jnp.ndarray:
+    """One loss evaluation: sample ``t ~ U[0, T)`` per example, then losses.
+
+    Reference: ``src/models/ddpm.py:26-29``.
+    """
+    rng_t, rng_noise = jax.random.split(rng)
+    t = jax.random.randint(rng_t, (x.shape[0],), 0, schedule.num_timesteps)
+    return p_losses(schedule, model_fn, x, t, rng_noise, y=y,
+                    loss_type=loss_type)

@@ -1,0 +1,184 @@
+"""Compiled reverse-diffusion samplers: DDPM ancestral and DDIM.
+
+The reference's sampler is a 1000-iteration *Python* loop with per-step
+host->device transfers of schedule scalars (``src/models/ddpm.py:31-45``) and
+its standalone sampling module is an empty file (``src/sampling.py``, 0 bytes).
+Here each sampler is a single ``lax.scan`` whose carry is ``(x, rng)`` — the
+whole reverse trajectory compiles to one XLA program; the schedule lives in
+device memory; noise is drawn on-device by folding the PRNG key per step.
+
+DDIM (Song et al. 2021, arXiv:2010.02502) with arbitrary step counts and
+``eta`` covers the reference's declared-but-missing accelerated sampling
+(driver BASELINE configs: 50/100-step eta=0 at 128x128).
+
+Both samplers accept an optional classifier-free guidance scale for
+conditional models; the uncond/cond batch is stacked so one model call feeds
+the MXU with a 2B batch rather than two B calls.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from superdiff_tpu.diffusion.schedules import DiffusionSchedule
+from superdiff_tpu.diffusion.process import ModelFn, _bcast_to
+
+
+def _guided_eps(model_fn: ModelFn,
+                x: jnp.ndarray,
+                t: jnp.ndarray,
+                y: Optional[jnp.ndarray],
+                guidance_scale: float,
+                null_label: int) -> jnp.ndarray:
+    """Epsilon prediction with optional classifier-free guidance.
+
+    With guidance, runs cond+uncond in one stacked call (batch 2B — bigger
+    matmuls for the MXU, one weight read from HBM instead of two).
+    """
+    if y is None:
+        return model_fn(x, t)
+    if guidance_scale == 1.0:
+        return model_fn(x, t, y)
+    x2 = jnp.concatenate([x, x], axis=0)
+    t2 = jnp.concatenate([t, t], axis=0)
+    y_null = jnp.full_like(y, null_label)
+    y2 = jnp.concatenate([y, y_null], axis=0)
+    eps2 = model_fn(x2, t2, y2)
+    eps_c, eps_u = jnp.split(eps2, 2, axis=0)
+    return eps_u + guidance_scale * (eps_c - eps_u)
+
+
+def ddpm_step(schedule: DiffusionSchedule,
+              x: jnp.ndarray,
+              t: jnp.ndarray,
+              eps_hat: jnp.ndarray,
+              noise: jnp.ndarray) -> jnp.ndarray:
+    """One ancestral update, exactly the reference's formula
+    (``src/models/ddpm.py:42-44``):
+
+    ``x' = (1/sqrt(a_t)) (x - ((1-a_t)/sqrt(1-ab_t)) eps_hat) + sqrt(b_t) z``
+    with ``z = 0`` at ``t == 0``.
+    """
+    coef = _bcast_to(
+        (1.0 - schedule.alphas[t]) / schedule.sqrt_one_minus_alpha_bars[t], x)
+    mean = _bcast_to(schedule.sqrt_recip_alphas[t], x) * (x - coef * eps_hat)
+    sigma = _bcast_to(jnp.sqrt(schedule.betas[t]), x)
+    keep_noise = _bcast_to((t > 0).astype(x.dtype), x)
+    return mean + sigma * keep_noise * noise
+
+
+def ddpm_sample(schedule: DiffusionSchedule,
+                model_fn: ModelFn,
+                shape: Tuple[int, ...],
+                rng: jax.Array,
+                y: Optional[jnp.ndarray] = None,
+                guidance_scale: float = 1.0,
+                null_label: int = 0,
+                num_frames: int = 0,
+                dtype=jnp.float32):
+    """Full T-step ancestral sampling as one ``lax.scan``.
+
+    Returns ``x0`` of ``shape`` (NHWC), or ``(x0, frames)`` when
+    ``num_frames > 0`` — frames are ``num_frames`` evenly spaced intermediate
+    states (the reverse-trajectory strip the reference's
+    ``plot_reverse_diffusion`` mislabels, ``src/utils/visualization.py:6-15``).
+    """
+    T = schedule.num_timesteps
+    rng, init_rng = jax.random.split(rng)
+    x_init = jax.random.normal(init_rng, shape, dtype=dtype)
+
+    record = num_frames > 0
+    frame_every = max(1, T // num_frames) if record else T
+
+    def step(carry, t_scalar):
+        x, key = carry
+        key, nkey = jax.random.split(key)
+        t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
+        eps_hat = _guided_eps(model_fn, x, t, y, guidance_scale, null_label)
+        noise = jax.random.normal(nkey, shape, dtype=dtype)
+        x_next = ddpm_step(schedule, x, t, eps_hat, noise)
+        out = None
+        if record:
+            out = jnp.where(t_scalar % frame_every == 0, 1, 0), x_next
+        return (x_next, key), out
+
+    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    (x_final, _), outs = jax.lax.scan(step, (x_init, rng), ts)
+    if not record:
+        return x_final
+    flags, frames = outs
+    idx = jnp.nonzero(flags, size=num_frames, fill_value=T - 1)[0]
+    return x_final, frames[idx]
+
+
+def ddim_timesteps(T: int, num_steps: int) -> np.ndarray:
+    """Evenly spaced sub-sequence of timesteps, descending, ending at 0."""
+    if num_steps >= T:
+        return np.arange(T - 1, -1, -1)
+    step = T // num_steps
+    ts = np.arange(0, T, step)[:num_steps]
+    return ts[::-1].copy()
+
+
+def ddim_sample(schedule: DiffusionSchedule,
+                model_fn: ModelFn,
+                shape: Tuple[int, ...],
+                rng: jax.Array,
+                num_steps: int = 50,
+                eta: float = 0.0,
+                y: Optional[jnp.ndarray] = None,
+                guidance_scale: float = 1.0,
+                null_label: int = 0,
+                clip_x0: bool = True,
+                dtype=jnp.float32) -> jnp.ndarray:
+    """DDIM sampling (arXiv:2010.02502 eq. 12) over ``num_steps`` steps.
+
+    ``eta = 0`` is fully deterministic given the init noise; ``eta = 1``
+    recovers DDPM-like stochasticity on the sub-sequence. Missing from the
+    reference (empty ``src/sampling.py``); required by the north-star configs.
+
+    ``clip_x0`` clamps the predicted clean image to [-1, 1] each step
+    (standard "clip_denoised"); data is normalized into that range by the
+    pipeline, and clipping keeps early large-t extrapolations bounded.
+    """
+    ts_np = ddim_timesteps(schedule.num_timesteps, num_steps)
+    ts = jnp.asarray(ts_np, dtype=jnp.int32)
+    # alpha_bar of the *next* (less noisy) step in the subsequence; 1.0 at end.
+    ab_next_np = np.concatenate([
+        np.asarray(schedule.alpha_bars)[ts_np[1:]], [1.0]]).astype(np.float32)
+    ab_next_seq = jnp.asarray(ab_next_np)
+
+    rng, init_rng = jax.random.split(rng)
+    x_init = jax.random.normal(init_rng, shape, dtype=dtype)
+
+    def step(carry, scan_in):
+        x, key = carry
+        t_scalar, ab_next = scan_in
+        key, nkey = jax.random.split(key)
+        t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
+        eps_hat = _guided_eps(model_fn, x, t, y, guidance_scale, null_label)
+
+        ab_t = schedule.alpha_bars[t_scalar]
+        x0_pred = (x - jnp.sqrt(1.0 - ab_t) * eps_hat) / jnp.sqrt(ab_t)
+        if clip_x0:
+            x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
+            # re-derive eps consistent with the clipped x0 so the
+            # "direction" term stays on-manifold
+            eps_hat = (x - jnp.sqrt(ab_t) * x0_pred) / jnp.sqrt(1.0 - ab_t)
+        sigma = (eta * jnp.sqrt((1.0 - ab_next) / (1.0 - ab_t))
+                 * jnp.sqrt(1.0 - ab_t / ab_next))
+        dir_coef = jnp.sqrt(jnp.maximum(1.0 - ab_next - sigma ** 2, 0.0))
+        noise = jax.random.normal(nkey, shape, dtype=dtype)
+        # No fresh noise on the final step (ab_next == 1 -> sigma == 0 anyway
+        # for eta<=1, but guard explicitly for eta>1 experimentation).
+        noise = jnp.where(ab_next >= 1.0, 0.0, noise)
+        x_next = (jnp.sqrt(ab_next) * x0_pred + dir_coef * eps_hat
+                  + sigma * noise)
+        return (x_next, key), None
+
+    (x_final, _), _ = jax.lax.scan(step, (x_init, rng), (ts, ab_next_seq))
+    return x_final

@@ -1,0 +1,148 @@
+"""Shared Flax building blocks for the diffusion UNets (NHWC, TPU layout).
+
+Everything here is written NHWC — the TPU-native convolution layout — with an
+explicit ``compute_dtype`` so the hot path runs bfloat16 on the MXU while
+parameters and normalization statistics stay float32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def sinusoidal_time_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Transformer-style sinusoidal embedding of integer/float timesteps.
+
+    Matches the reference's formula exactly (``src/models/unet.py:13-16``):
+    frequencies ``exp(-log(1e4) * i / (half - 1))``, output
+    ``concat(sin, cos)``. ``t``: shape ``(B,)`` -> ``(B, dim)`` float32.
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32)
+        * -(math.log(10000.0) / (half - 1)))
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class TimeEmbeddingMLP(nn.Module):
+    """Sinusoidal embedding -> Linear -> SiLU -> Linear.
+
+    Reference: ``src/models/unet.py:40-45`` (dim -> 4*dim -> dim). The
+    flagship UNet uses ``out_dim = 4*dim`` instead (wider conditioning).
+    """
+    dim: int
+    out_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        out_dim = self.out_dim or self.dim
+        h = sinusoidal_time_embedding(t, self.dim)
+        h = nn.Dense(self.dim * 4, dtype=self.dtype, name="dense_0")(h)
+        h = nn.silu(h)
+        h = nn.Dense(out_dim, dtype=self.dtype, name="dense_1")(h)
+        return h
+
+
+class ResBlock(nn.Module):
+    """DDPM residual block with FiLM (scale-shift) conditioning.
+
+    The real thing the reference's ``ResidualBlock`` (``src/models/unet.py:
+    18-35``) gestures at but lacks: an actual residual connection, and
+    scale-shift conditioning (Improved DDPM, arXiv:2102.09672 app. A) instead
+    of a plain additive bias.
+    """
+    out_channels: int
+    compute_dtype: jnp.dtype = jnp.float32
+    groups: int = 32
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        g1 = min(self.groups, in_ch)
+        g2 = min(self.groups, self.out_channels)
+
+        h = nn.GroupNorm(num_groups=g1, epsilon=1e-5, dtype=jnp.float32,
+                         name="norm_0")(x)
+        h = nn.silu(h).astype(self.compute_dtype)
+        h = nn.Conv(self.out_channels, (3, 3), dtype=self.compute_dtype,
+                    name="conv_0")(h)
+
+        # FiLM: emb -> (scale, shift), applied after the second norm.
+        cond = nn.Dense(2 * self.out_channels, dtype=jnp.float32,
+                        name="emb_proj")(nn.silu(emb.astype(jnp.float32)))
+        scale, shift = jnp.split(cond[:, None, None, :], 2, axis=-1)
+
+        h = nn.GroupNorm(num_groups=g2, epsilon=1e-5, dtype=jnp.float32,
+                         name="norm_1")(h.astype(jnp.float32))
+        h = h * (1.0 + scale) + shift
+        h = nn.silu(h).astype(self.compute_dtype)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(self.out_channels, (3, 3), dtype=self.compute_dtype,
+                    kernel_init=nn.initializers.zeros, name="conv_1")(h)
+
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.compute_dtype,
+                        name="skip_proj")(x.astype(self.compute_dtype))
+        return (x + h).astype(self.compute_dtype)
+
+
+class SelfAttention2D(nn.Module):
+    """Multi-head self-attention over flattened spatial positions.
+
+    Used at low resolutions in the flagship UNet (the reference has no
+    attention at all — SURVEY.md §5.7). Dispatches to the fused Pallas flash
+    attention kernel on TPU when profitable, with a pure-XLA fallback.
+    """
+    num_heads: int = 4
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from superdiff_tpu.ops.attention import multihead_attention
+
+        B, H, W, C = x.shape
+        assert C % self.num_heads == 0, (C, self.num_heads)
+        h = nn.GroupNorm(num_groups=min(32, C), epsilon=1e-5,
+                         dtype=jnp.float32, name="norm")(x)
+        h = h.astype(self.compute_dtype).reshape(B, H * W, C)
+        qkv = nn.Dense(3 * C, dtype=self.compute_dtype, name="qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = C // self.num_heads
+        split_heads = lambda a: a.reshape(B, H * W, self.num_heads, hd)
+        out = multihead_attention(split_heads(q), split_heads(k),
+                                  split_heads(v))
+        out = out.reshape(B, H * W, C)
+        out = nn.Dense(C, dtype=self.compute_dtype,
+                       kernel_init=nn.initializers.zeros, name="proj")(out)
+        return x + out.reshape(B, H, W, C)
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv downsampling (keeps channels)."""
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(x.shape[-1], (3, 3), strides=(2, 2),
+                       dtype=self.compute_dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    """Nearest-neighbor 2x upsample + 3x3 conv."""
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, 2 * H, 2 * W, C), method="nearest")
+        return nn.Conv(C, (3, 3), dtype=self.compute_dtype, name="conv")(x)

@@ -1,0 +1,130 @@
+"""CondUNet — the flagship class-conditional DDPM UNet (NHWC, bf16-ready).
+
+The capability the reference *declares* ("Class-conditional UNet Diffusion
+Models", ``README.md:8``) but never implements (its ``UNet`` takes no label,
+``src/models/unet.py:57``). Standard DDPM UNet topology (Ho et al. 2020 /
+Improved DDPM):
+
+- stem conv -> ``len(channel_mults)`` resolution levels, ``num_res_blocks``
+  FiLM ResBlocks each, stride-2 conv downsampling between levels,
+- self-attention at resolutions listed in ``attn_resolutions`` (flash
+  attention via the Pallas kernel in ``ops/attention.py``),
+- middle: ResBlock -> Attention -> ResBlock,
+- mirror-image up path with UNet skip *concatenation*,
+- out: GN -> SiLU -> zero-init 3x3 conv.
+
+Conditioning: sinusoidal timestep MLP + learned class embedding, summed.
+``num_classes`` labels plus one reserved **null label** (index
+``num_classes``) for classifier-free guidance training/sampling.
+
+TPU notes: NHWC everywhere; ``compute_dtype=bfloat16`` runs convs/attention
+on the MXU at full rate while params, norms and the conditioning MLP stay
+float32. All shapes static; the whole net jits into one XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from superdiff_tpu.models.layers import (
+    TimeEmbeddingMLP, ResBlock, SelfAttention2D, Downsample, Upsample)
+
+
+class CondUNet(nn.Module):
+    in_channels: int = 1
+    out_channels: int = 1
+    base_channels: int = 64
+    channel_mults: Sequence[int] = (1, 2, 2, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = (16, 8)
+    num_heads: int = 4
+    num_classes: int = 0           # 0 => unconditional
+    time_emb_dim: int = 256
+    dropout: float = 0.0
+    compute_dtype: jnp.dtype = jnp.float32
+    groups: int = 32
+
+    @property
+    def null_label(self) -> int:
+        """Label index meaning "unconditional" (classifier-free guidance)."""
+        return self.num_classes
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray,
+                 y: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        emb_dim = self.time_emb_dim * 4
+        emb = TimeEmbeddingMLP(self.time_emb_dim, out_dim=emb_dim,
+                               name="time_mlp")(t)
+        if self.num_classes > 0:
+            if y is None:
+                raise ValueError(
+                    "CondUNet(num_classes>0) requires labels y; pass "
+                    "y=full(null_label) for unconditional use.")
+            emb = emb + nn.Embed(self.num_classes + 1, emb_dim,
+                                 name="class_emb")(y)
+
+        cd = self.compute_dtype
+        h = nn.Conv(self.base_channels, (3, 3), dtype=cd,
+                    name="stem")(x.astype(cd))
+
+        resolution = x.shape[1]
+        skips = [h]
+        # --- down path ---
+        for level, mult in enumerate(self.channel_mults):
+            ch = self.base_channels * mult
+            for block in range(self.num_res_blocks):
+                h = ResBlock(ch, compute_dtype=cd, groups=self.groups,
+                             dropout=self.dropout,
+                             name=f"down_{level}_block_{block}")(
+                                 h, emb, deterministic)
+                if resolution in self.attn_resolutions:
+                    h = SelfAttention2D(self.num_heads, compute_dtype=cd,
+                                        name=f"down_{level}_attn_{block}")(h)
+                skips.append(h)
+            if level != len(self.channel_mults) - 1:
+                h = Downsample(compute_dtype=cd,
+                               name=f"down_{level}_downsample")(h)
+                resolution //= 2
+                skips.append(h)
+
+        # --- middle ---
+        mid_ch = self.base_channels * self.channel_mults[-1]
+        h = ResBlock(mid_ch, compute_dtype=cd, groups=self.groups,
+                     dropout=self.dropout, name="mid_block_0")(
+                         h, emb, deterministic)
+        h = SelfAttention2D(self.num_heads, compute_dtype=cd,
+                            name="mid_attn")(h)
+        h = ResBlock(mid_ch, compute_dtype=cd, groups=self.groups,
+                     dropout=self.dropout, name="mid_block_1")(
+                         h, emb, deterministic)
+
+        # --- up path (skip concat) ---
+        for level, mult in reversed(list(enumerate(self.channel_mults))):
+            ch = self.base_channels * mult
+            for block in range(self.num_res_blocks + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip.astype(cd)], axis=-1)
+                h = ResBlock(ch, compute_dtype=cd, groups=self.groups,
+                             dropout=self.dropout,
+                             name=f"up_{level}_block_{block}")(
+                                 h, emb, deterministic)
+                if resolution in self.attn_resolutions:
+                    h = SelfAttention2D(self.num_heads, compute_dtype=cd,
+                                        name=f"up_{level}_attn_{block}")(h)
+            if level != 0:
+                h = Upsample(compute_dtype=cd,
+                             name=f"up_{level}_upsample")(h)
+                resolution *= 2
+        assert not skips
+
+        h = nn.GroupNorm(num_groups=min(self.groups, h.shape[-1]),
+                         epsilon=1e-5, dtype=jnp.float32,
+                         name="out_norm")(h.astype(jnp.float32))
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), dtype=jnp.float32,
+                    kernel_init=nn.initializers.zeros, name="out_conv")(h)
+        return h

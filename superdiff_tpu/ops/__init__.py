@@ -1,0 +1,3 @@
+from superdiff_tpu.ops.attention import multihead_attention
+
+__all__ = ["multihead_attention"]

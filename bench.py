@@ -1,0 +1,156 @@
+"""Headline benchmark: 256² DDPM-1000 sampling throughput per chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+
+- "value": samples/sec/chip for full 1000-step DDPM ancestral sampling of
+  256×256 grayscale images with the flagship CondUNet (base256 preset),
+  measured on the default JAX backend (the real TPU chip under the driver).
+- "vs_baseline": speedup vs the reference stack's achievable number — the
+  reference publishes no benchmarks (SURVEY.md §6, BASELINE.md), so the
+  baseline is *measured here*: its tiny 5-block CNN (the architecture of
+  ``src/models/unet.py``) run in PyTorch-CPU exactly as its sampler would
+  (T=1000 sequential model calls, ``src/models/ddpm.py:31-45``), timed per
+  call and extrapolated. Cached in BASELINE_MEASURED.json after first run.
+
+All progress chatter goes to stderr; stdout carries only the JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BASELINE_MEASURED.json")
+RES = 256
+BATCH = 8
+T = 1000
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure_torch_cpu_baseline() -> float:
+    """Samples/sec of the reference workload on PyTorch CPU (extrapolated).
+
+    Functional re-derivation of the reference model's compute graph (five
+    [GN-SiLU-Conv3x3-GN-SiLU-Conv3x3]+time-bias blocks, 1-64-128-128-64-1
+    channels at full 256² resolution) — semantics per SURVEY.md §2.2; we
+    time one denoiser call and scale by the T=1000 sequential loop.
+    """
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    chans = [(1, 64), (64, 128), (128, 128), (128, 64), (64, 1)]
+    weights = []
+    for cin, cout in chans:
+        weights.append(dict(
+            g0=(torch.ones(cin), torch.zeros(cin)),
+            w0=torch.randn(cout, cin, 3, 3) * 0.05,
+            b0=torch.zeros(cout),
+            g1=(torch.ones(cout), torch.zeros(cout)),
+            w1=torch.randn(cout, cout, 3, 3) * 0.05,
+            b1=torch.zeros(cout),
+            te=torch.randn(cout, 256) * 0.05,
+        ))
+    t_emb = torch.randn(1, 256)
+
+    @torch.no_grad()
+    def denoiser(x):
+        h = x
+        for (cin, cout), w in zip(chans, weights):
+            h = F.group_norm(h, min(4, cin), *w["g0"], eps=1e-5)
+            h = F.silu(h)
+            h = F.conv2d(h, w["w0"], w["b0"], padding=1)
+            h = F.group_norm(h, min(4, cout), *w["g1"], eps=1e-5)
+            h = F.silu(h)
+            h = F.conv2d(h, w["w1"], w["b1"], padding=1)
+            h = h + (t_emb @ w["te"].T).unsqueeze(-1).unsqueeze(-1)
+        return h
+
+    x = torch.randn(1, 1, RES, RES)
+    denoiser(x)  # warmup
+    tic = time.perf_counter()
+    n_calls = 2
+    for _ in range(n_calls):
+        denoiser(x)
+    per_call = (time.perf_counter() - tic) / n_calls
+    # reference sampler: T sequential calls per batch of 1
+    samples_per_sec = 1.0 / (per_call * T)
+    log(f"torch-cpu: {per_call:.2f}s/call -> "
+        f"{samples_per_sec:.6f} samples/sec (extrapolated x{T})")
+    return samples_per_sec
+
+
+def get_baseline() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            data = json.load(f)
+        if data.get("resolution") == RES and data.get("T") == T:
+            return data["torch_cpu_samples_per_sec"]
+    val = measure_torch_cpu_baseline()
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"resolution": RES, "T": T,
+                   "torch_cpu_samples_per_sec": val,
+                   "note": "reference-architecture DDPM-1000 sampling, "
+                           "PyTorch CPU, extrapolated from per-call time"},
+                  f, indent=2)
+    return val
+
+
+def measure_ours() -> float:
+    import jax
+    import jax.numpy as jnp
+    from superdiff_tpu.diffusion import make_schedule, ddpm_sample
+    from superdiff_tpu.models.presets import build_model
+
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    model = build_model("base256", num_classes=2)
+    shape = (BATCH, RES, RES, 1)
+    x = jnp.zeros(shape, dtype=jnp.float32)
+    t0 = jnp.zeros((BATCH,), dtype=jnp.int32)
+    y = jnp.zeros((BATCH,), dtype=jnp.int32)
+
+    tic = time.time()
+    params = model.init(jax.random.PRNGKey(0), x, t0, y)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    log(f"init {n_params:,} params in {time.time()-tic:.0f}s")
+
+    schedule = make_schedule(T)
+    apply_fn = lambda xx, tt, yy: model.apply(params, xx, tt, yy)
+
+    sample = jax.jit(lambda r: ddpm_sample(
+        schedule, apply_fn, shape, r, y=y, guidance_scale=1.0))
+
+    tic = time.time()
+    sample(jax.random.PRNGKey(1)).block_until_ready()
+    log(f"compile+first run: {time.time()-tic:.0f}s")
+
+    tic = time.time()
+    out = sample(jax.random.PRNGKey(2))
+    out.block_until_ready()
+    dt = time.time() - tic
+    assert bool(jnp.isfinite(out).all()), "non-finite samples"
+    sps = BATCH / dt
+    log(f"steady: {dt:.1f}s for {BATCH} samples -> {sps:.3f} samples/sec")
+    return sps
+
+
+def main():
+    baseline = get_baseline()
+    ours = measure_ours()
+    print(json.dumps({
+        "metric": "256x256 DDPM-1000 sampling throughput",
+        "value": round(ours, 4),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(ours / baseline, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Named model presets for the supported resolutions.
+
+The driver's north-star configs (BASELINE.json) sample at 64², 128² and
+256²; these presets pin the UNet topology per resolution so CLIs, benches
+and checkpoints agree on shapes. The reference has a single hard-coded tiny
+CNN (``src/models/unet.py:38``) — preset "ref" reproduces it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+from superdiff_tpu.models.unet import CondUNet
+from superdiff_tpu.models.unet_ref import RefUNet
+
+# topology per working resolution: deeper pyramids for larger images so the
+# bottleneck (and attention) lands at 8-16 px.
+_PRESETS: Dict[str, Dict[str, Any]] = {
+    "small64": dict(base_channels=64, channel_mults=(1, 2, 2, 4),
+                    num_res_blocks=2, attn_resolutions=(16, 8),
+                    num_heads=4),
+    "base128": dict(base_channels=64, channel_mults=(1, 1, 2, 2, 4),
+                    num_res_blocks=2, attn_resolutions=(16, 8),
+                    num_heads=4),
+    "base256": dict(base_channels=64, channel_mults=(1, 1, 2, 2, 4, 4),
+                    num_res_blocks=2, attn_resolutions=(16,),
+                    num_heads=4),
+}
+
+RESOLUTION_TO_PRESET = {64: "small64", 128: "base128", 256: "base256"}
+
+
+def build_model(preset: str = "small64",
+                num_classes: int = 2,
+                compute_dtype=jnp.bfloat16,
+                **overrides) -> CondUNet:
+    """Build a flagship CondUNet from a named preset (+ field overrides)."""
+    if preset == "ref":
+        return RefUNet()
+    if preset not in _PRESETS:
+        raise ValueError(
+            f"unknown preset {preset!r} (have {['ref'] + sorted(_PRESETS)})")
+    cfg = dict(_PRESETS[preset])
+    cfg.update(overrides)
+    return CondUNet(num_classes=num_classes, compute_dtype=compute_dtype,
+                    **cfg)
+
+
+def preset_for_resolution(resolution: int) -> str:
+    if resolution not in RESOLUTION_TO_PRESET:
+        raise ValueError(f"no preset for resolution {resolution} "
+                         f"(have {sorted(RESOLUTION_TO_PRESET)})")
+    return RESOLUTION_TO_PRESET[resolution]

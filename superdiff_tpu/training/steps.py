@@ -1,0 +1,118 @@
+"""Jitted, mesh-sharded train/eval steps.
+
+One compiled program per step: loss + grads + Adam + EMA, with the batch
+sharded over the mesh's data axis and the state replicated. XLA inserts the
+gradient all-reduce over ICI — there is no hand-written collective here
+(SURVEY.md §2.4: the reference is single-device; this is the TPU-native DP
+path the north star mandates).
+
+The state is donated: parameters and optimizer state are updated in place in
+HBM rather than double-buffered.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from superdiff_tpu.diffusion.schedules import DiffusionSchedule
+from superdiff_tpu.diffusion.process import training_step as loss_fn_impl
+from superdiff_tpu.training.state import TrainState, ema_update
+
+
+def make_train_step(schedule: DiffusionSchedule,
+                    mesh: Optional[Mesh] = None,
+                    conditional: bool = False,
+                    cfg_drop_prob: float = 0.0,
+                    null_label: int = 0,
+                    loss_type: str = "mse") -> Callable:
+    """Build the jitted train step.
+
+    ``cfg_drop_prob``: probability of replacing each label with the null
+    label during training — classifier-free guidance training (only
+    meaningful when ``conditional``).
+
+    Returns ``step_fn(state, batch) -> (state, metrics)`` where ``batch`` is
+    ``{"image": (B,H,W,C)}`` plus ``{"label": (B,)}`` when conditional.
+    """
+
+    def loss_of(params, state, batch, rng):
+        x = batch["image"]
+        if conditional:
+            y = batch["label"]
+            if cfg_drop_prob > 0.0:
+                rng, drop_rng = jax.random.split(rng)
+                drop = jax.random.bernoulli(drop_rng, cfg_drop_prob,
+                                            (x.shape[0],))
+                y = jnp.where(drop, null_label, y)
+            model_fn = lambda xt, t, yy: state.apply_fn(params, xt, t, yy)
+            return loss_fn_impl(schedule, model_fn, x, rng, y=y,
+                                loss_type=loss_type)
+        model_fn = lambda xt, t: state.apply_fn(params, xt, t)
+        return loss_fn_impl(schedule, model_fn, x, rng, loss_type=loss_type)
+
+    def step_fn(state: TrainState, batch) -> tuple:
+        rng, step_rng = jax.random.split(state.rng)
+        step_rng = jax.random.fold_in(step_rng, state.step)
+        loss, grads = jax.value_and_grad(loss_of)(
+            state.params, state, batch, step_rng)
+        updates, opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: (p + u).astype(p.dtype), state.params, updates)
+        ema_params = ema_update(state.ema_params, params, state.ema_decay,
+                                state.step)
+        grad_norm = jnp.sqrt(sum(
+            jnp.sum(jnp.square(g.astype(jnp.float32)))
+            for g in jax.tree_util.tree_leaves(grads)))
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  ema_params=ema_params,
+                                  opt_state=opt_state, rng=rng)
+        return new_state, {"loss": loss, "grad_norm": grad_norm}
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    batch_shardings = {"image": data}
+    if conditional:
+        batch_shardings["label"] = data
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, batch_shardings),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(schedule: DiffusionSchedule,
+                   mesh: Optional[Mesh] = None,
+                   conditional: bool = False,
+                   loss_type: str = "mse") -> Callable:
+    """Validation loss on EMA params (no grads, fixed fold-in RNG)."""
+
+    def eval_fn(state: TrainState, batch) -> jnp.ndarray:
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        x = batch["image"]
+        if conditional:
+            model_fn = lambda xt, t, yy: state.apply_fn(
+                state.ema_params, xt, t, yy)
+            return loss_fn_impl(schedule, model_fn, x, rng,
+                                y=batch["label"], loss_type=loss_type)
+        model_fn = lambda xt, t: state.apply_fn(state.ema_params, xt, t)
+        return loss_fn_impl(schedule, model_fn, x, rng, loss_type=loss_type)
+
+    if mesh is None:
+        return jax.jit(eval_fn)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    batch_shardings = {"image": data}
+    if conditional:
+        batch_shardings["label"] = data
+    return jax.jit(eval_fn, in_shardings=(repl, batch_shardings),
+                   out_shardings=repl)

@@ -1,0 +1,166 @@
+"""Sharded training-engine tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from superdiff_tpu.diffusion import make_schedule
+from superdiff_tpu.models import CondUNet, RefUNet
+from superdiff_tpu.parallel import make_mesh, shard_batch
+from superdiff_tpu.training import create_train_state, make_train_step, \
+    make_eval_step
+from superdiff_tpu.training.state import make_optimizer, ema_update
+from superdiff_tpu.data import synthetic_xray_batch
+
+RES = 16
+B = 8
+
+
+@pytest.fixture(scope="module")
+def schedule():
+    return make_schedule(100)
+
+
+def _tiny_model():
+    return CondUNet(base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+                    attn_resolutions=(), num_classes=2, time_emb_dim=16,
+                    groups=4)
+
+
+def _batch(conditional=True, seed=0):
+    imgs, labels = synthetic_xray_batch(B, RES, seed=seed)
+    out = {"image": jnp.asarray(imgs)}
+    if conditional:
+        out["label"] = jnp.asarray(labels)
+    return out
+
+
+def _make_state(model, conditional=True, **opt_kw):
+    x = jnp.zeros((B, RES, RES, 1))
+    t = jnp.zeros((B,), dtype=jnp.int32)
+    args = (x, t, jnp.zeros((B,), dtype=jnp.int32)) if conditional else (x, t)
+    return create_train_state(model, jax.random.PRNGKey(0), args,
+                              tx=make_optimizer(**opt_kw))
+
+
+def test_train_step_decreases_loss_overfit(schedule):
+    """Overfit a tiny model on one batch: loss must drop substantially."""
+    model = _tiny_model()
+    state = _make_state(model, learning_rate=2e-3)
+    step = make_train_step(schedule, conditional=True)
+    batch = _batch()
+    first = None
+    losses = []
+    for i in range(80):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    first, last = np.mean(losses[:5]), np.mean(losses[-5:])
+    assert last < first * 0.75, (first, last)
+    assert int(state.step) == 80
+
+
+def test_train_step_sharded_matches_unsharded(schedule, devices8):
+    """The mesh-sharded step must produce the same numbers as single-device
+    (same params, same batch, same RNG)."""
+    model = _tiny_model()
+    mesh = make_mesh(8)
+    batch = _batch()
+
+    state_a = _make_state(model)
+    step_a = make_train_step(schedule, conditional=True)
+    state_a, m_a = step_a(state_a, batch)
+
+    state_b = _make_state(model)
+    step_b = make_train_step(schedule, mesh=mesh, conditional=True)
+    sharded = shard_batch(batch, mesh)
+    state_b, m_b = step_b(state_b, sharded)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5)
+    la = jax.tree_util.tree_leaves(state_a.params)
+    lb = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_sharded_batch_is_actually_distributed(devices8):
+    mesh = make_mesh(8)
+    batch = shard_batch(_batch(), mesh)
+    img = batch["image"]
+    assert len(img.sharding.device_set) == 8
+    # each device holds 1/8 of the batch
+    shard = img.addressable_shards[0]
+    assert shard.data.shape[0] == B // 8
+
+
+def test_ema_warmup_then_decay():
+    p0 = {"w": jnp.zeros(3)}
+    p1 = {"w": jnp.ones(3)}
+    early = ema_update(p0, p1, 0.995, jnp.asarray(0))
+    # step 0: eff = min(.995, 1/10) = 0.1 -> ema ~= 0.9 * new
+    np.testing.assert_allclose(np.asarray(early["w"]), 0.9, rtol=1e-6)
+    late = ema_update(p0, p1, 0.995, jnp.asarray(10_000))
+    np.testing.assert_allclose(np.asarray(late["w"]), 0.005, rtol=1e-4)
+
+
+def test_cfg_label_dropout_trains(schedule):
+    model = _tiny_model()
+    state = _make_state(model)
+    step = make_train_step(schedule, conditional=True, cfg_drop_prob=0.5,
+                           null_label=model.null_label)
+    state, metrics = step(state, _batch())
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_unconditional_ref_unet_trains(schedule):
+    model = RefUNet(base_channels=8, time_emb_dim=32)
+    x = jnp.zeros((B, RES, RES, 1))
+    t = jnp.zeros((B,), dtype=jnp.int32)
+    state = create_train_state(model, jax.random.PRNGKey(0), (x, t))
+    step = make_train_step(schedule, conditional=False)
+    state, metrics = step(state, _batch(conditional=False))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_eval_step_uses_ema(schedule):
+    model = _tiny_model()
+    state = _make_state(model)
+    eval_step = make_eval_step(schedule, conditional=True)
+    l1 = float(eval_step(state, _batch()))
+    # corrupt raw params; EMA untouched -> eval loss must not change
+    state2 = state.replace(params=jax.tree_util.tree_map(
+        lambda a: a + 100.0, state.params))
+    l2 = float(eval_step(state2, _batch()))
+    assert l1 == l2
+
+
+def test_optimizer_options():
+    tx = make_optimizer(weight_decay=0.01, grad_clip_norm=1.0,
+                        schedule="cosine", total_steps=100, warmup_steps=10)
+    params = {"w": jnp.ones(4)}
+    st = tx.init(params)
+    upd, _ = tx.update({"w": jnp.ones(4)}, st, params)
+    assert np.isfinite(np.asarray(upd["w"])).all()
+    with pytest.raises(ValueError):
+        make_optimizer(schedule="cosine")  # missing total_steps
+    with pytest.raises(ValueError):
+        make_optimizer(schedule="poly")
+
+
+def test_grad_reduction_across_devices(schedule, devices8):
+    """Different per-device shards must still yield one consistent update
+    (i.e. gradients are reduced, not per-device)."""
+    model = _tiny_model()
+    mesh = make_mesh(8)
+    step = make_train_step(schedule, mesh=mesh, conditional=True)
+    state = _make_state(model)
+    state, _ = step(state, shard_batch(_batch(seed=3), mesh))
+    # params remain fully replicated after the update
+    p = jax.tree_util.tree_leaves(state.params)[0]
+    assert len(p.sharding.device_set) == 8
+    vals = [np.asarray(s.data) for s in p.addressable_shards]
+    for v in vals[1:]:
+        np.testing.assert_array_equal(vals[0], v)

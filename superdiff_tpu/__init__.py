@@ -23,6 +23,25 @@ A from-scratch rebuild of the capability surface of the reference
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("SUPERDIFF_TPU_PLATFORM"):
+    # Explicit platform selection (e.g. SUPERDIFF_TPU_PLATFORM=cpu to run
+    # analysis/CLIs on the host while a TPU job trains). Set via jax.config
+    # because some environments force a platform the same way, which the
+    # JAX_PLATFORMS env var alone cannot override.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms",
+                           _os.environ["SUPERDIFF_TPU_PLATFORM"])
+        if _os.environ.get("SUPERDIFF_TPU_CPU_DEVICES"):
+            _jax.config.update(
+                "jax_num_cpu_devices",
+                int(_os.environ["SUPERDIFF_TPU_CPU_DEVICES"]))
+    except RuntimeError:
+        pass  # backend already initialized; leave as-is
+
 from superdiff_tpu.diffusion.schedules import DiffusionSchedule, make_schedule
 
 __all__ = ["DiffusionSchedule", "make_schedule", "__version__"]

@@ -1,0 +1,18 @@
+"""Analysis package — the reference's empty ``src/analysis/__init__.py``
+made real: feature extraction, latent projections (t-SNE/UMAP, 2D/3D,
+thumbnails), Grad-CAM, model comparison, and FID evaluation."""
+
+from superdiff_tpu.analysis.features import (
+    FeatureExtractor, extract_features)
+from superdiff_tpu.analysis.projection import (
+    run_projection, run_projection_with_thumbnails,
+    compare_tsne_umap_thumbnails, run_projection_3d)
+from superdiff_tpu.analysis.gradcam import compute_gradcam, run_gradcam
+from superdiff_tpu.analysis.fid import frechet_distance, compute_fid
+
+__all__ = [
+    "FeatureExtractor", "extract_features", "run_projection",
+    "run_projection_with_thumbnails", "compare_tsne_umap_thumbnails",
+    "run_projection_3d", "compute_gradcam", "run_gradcam",
+    "frechet_distance", "compute_fid",
+]

@@ -1,0 +1,174 @@
+"""Feature extraction for latent analysis (projections, FID, Grad-CAM).
+
+Capability of ``src/models/feature_extractor.py`` — which wraps *downloaded*
+pretrained nets (ResNet18 ``:8-16``, CheXNet DenseNet121 ``:35-46``,
+BiomedCLIP ``:48-51``). This environment (and many TPU pods) has no network
+egress, so the rebuilt interface is backend-pluggable:
+
+- ``"diffusion"`` — bottleneck activations of a *trained diffusion UNet* at
+  a fixed timestep, the framework-native choice (the denoiser has learned
+  exactly the domain statistics the projections are meant to show);
+- ``"classifier"`` — a small in-framework CNN classifier (also the
+  Grad-CAM target, mirroring the reference's classifier-based CAM);
+- ``"random"`` — fixed-seed random-projection CNN (no weights needed; the
+  classic random-features baseline for t-SNE/UMAP sanity views);
+- ``"torch"`` — optional escape hatch for local torch checkpoints, gated.
+
+All extractors expose ``extract(images_nhwc) -> (B, D) float32`` and batch
+through one jitted apply (``extract_features`` handles batching/limits as
+the reference's ``extract_features(..., max_samples=300)`` did, ``:18-33``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from superdiff_tpu.models.layers import num_groups_for
+
+
+class SmallCNN(nn.Module):
+    """Compact classifier: conv pyramid -> GAP -> logits.
+
+    Doubles as (a) the "classifier" feature extractor and (b) the Grad-CAM
+    target network. ``features()`` exposes the last conv map, the analogue
+    of the reference's ResNet ``layer4`` hook (``src/visualization/
+    gradcam.py:11-15``).
+    """
+    num_classes: int = 2
+    widths: Tuple[int, ...] = (32, 64, 128)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, return_features: bool = False):
+        h = x
+        for i, w in enumerate(self.widths):
+            h = nn.Conv(w, (3, 3), strides=(2, 2), name=f"conv_{i}")(h)
+            h = nn.GroupNorm(num_groups=num_groups_for(w, 8),
+                             name=f"norm_{i}")(h)
+            h = nn.silu(h)
+        feats = h                                  # (B, h, w, C)
+        pooled = jnp.mean(feats, axis=(1, 2))      # (B, C)
+        logits = nn.Dense(self.num_classes, name="head")(pooled)
+        if return_features:
+            return logits, feats
+        return logits
+
+
+class FeatureExtractor:
+    """Uniform ``extract(images) -> (B, D)`` facade over the backends."""
+
+    def __init__(self, kind: str = "random",
+                 params=None, model=None,
+                 schedule=None, timestep: int = 100,
+                 seed: int = 0, feature_dim: int = 256):
+        self.kind = kind
+        if kind == "random":
+            self._model = SmallCNN(num_classes=feature_dim)
+            self._params = None  # lazily init per input shape
+            self._seed = seed
+        elif kind == "classifier":
+            if model is None or params is None:
+                raise ValueError("classifier backend needs model + params")
+            self._model, self._params = model, params
+        elif kind == "diffusion":
+            if model is None or params is None or schedule is None:
+                raise ValueError(
+                    "diffusion backend needs model + params + schedule")
+            self._model, self._params = model, params
+            self._schedule, self._t = schedule, timestep
+        elif kind == "torch":
+            if model is None:
+                raise ValueError("torch backend needs a callable model")
+            self._torch_fn = model
+        else:
+            raise ValueError(f"unknown extractor kind {kind!r}")
+        self._jitted: Optional[Callable] = None
+
+    def _build_fn(self, sample: jnp.ndarray) -> Callable:
+        if self.kind == "random":
+            if self._params is None:
+                self._params = self._model.init(
+                    jax.random.PRNGKey(self._seed), sample)
+
+            def fn(x):
+                _, feats = self._model.apply(self._params, x,
+                                             return_features=True)
+                return jnp.mean(feats, axis=(1, 2))
+        elif self.kind == "classifier":
+            def fn(x):
+                _, feats = self._model.apply(self._params, x,
+                                             return_features=True)
+                return jnp.mean(feats, axis=(1, 2))
+        elif self.kind == "diffusion":
+            schedule, t_fix = self._schedule, self._t
+
+            def fn(x):
+                B = x.shape[0]
+                t = jnp.full((B,), t_fix, dtype=jnp.int32)
+                # deterministic probe: noise the input to t and capture the
+                # UNet's bottleneck activations
+                noise = jax.random.normal(jax.random.PRNGKey(0), x.shape,
+                                          dtype=x.dtype)
+                from superdiff_tpu.diffusion import q_sample
+
+                xt = q_sample(schedule, x, t, noise)
+                conditional = getattr(self._model, "num_classes", 0) > 0
+                args = (xt, t)
+                if conditional:
+                    args = args + (jnp.full((B,), self._model.null_label,
+                                            dtype=jnp.int32),)
+                _, inter = self._model.apply(
+                    self._params, *args, capture_intermediates=True,
+                    mutable=["intermediates"])
+                feats = _find_bottleneck(inter["intermediates"])
+                return jnp.mean(feats, axis=(1, 2)).astype(jnp.float32)
+        else:
+            raise AssertionError(self.kind)
+        return jax.jit(fn)
+
+    def extract(self, images) -> np.ndarray:
+        images = jnp.asarray(images)
+        if self.kind == "torch":
+            return np.asarray(self._torch_fn(np.asarray(images)))
+        if self._jitted is None:
+            self._jitted = self._build_fn(images)
+        return np.asarray(self._jitted(images))
+
+
+def _find_bottleneck(intermediates: dict):
+    """Pull the middle-block output out of captured intermediates."""
+    for key in ("mid_attn", "mid_block_1", "mid_block_0", "mid"):
+        if key in intermediates:
+            node = intermediates[key]
+            while isinstance(node, dict):
+                node = node.get("__call__", next(iter(node.values())))
+            return node[0] if isinstance(node, tuple) else node
+    raise KeyError(f"no bottleneck in {list(intermediates)}")
+
+
+def extract_features(extractor: FeatureExtractor,
+                     batches: Iterable,
+                     max_samples: int = 300
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched extraction with a sample cap (reference semantics:
+    ``feature_extractor.py:18-33``). ``batches`` yields dicts with
+    ``image`` (+ optional ``label``); returns ``(features, labels)``."""
+    feats, labels = [], []
+    n = 0
+    for batch in batches:
+        img = batch["image"] if isinstance(batch, dict) else batch
+        feats.append(extractor.extract(img))
+        if isinstance(batch, dict) and "label" in batch:
+            labels.append(np.asarray(batch["label"]))
+        else:
+            labels.append(np.zeros(len(img), dtype=np.int32))
+        n += len(img)
+        if n >= max_samples:
+            break
+    f = np.concatenate(feats)[:max_samples]
+    l = np.concatenate(labels)[:max_samples]
+    return f, l

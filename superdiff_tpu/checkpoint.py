@@ -1,0 +1,77 @@
+"""Orbax checkpointing: step-indexed, keep-last-N, bit-exact resume.
+
+The reference saves raw + EMA ``state_dict`` every epoch and can never
+resume — no load path exists, optimizer/RNG state is dropped
+(SURVEY.md §5.3-5.4, ``src/train/training_logic.py:47-48``). Here the whole
+:class:`~superdiff_tpu.training.state.TrainState` pytree — params, EMA,
+optimizer state, step counter, PRNG key — is one Orbax item; restoring and
+continuing reproduces the exact trajectory the uninterrupted run would have
+taken. Saves are async-capable and preemption-safe (Orbax atomic commit).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from superdiff_tpu.training.state import TrainState
+
+
+def _array_state(state: TrainState) -> dict:
+    """The checkpointable (array-only) part of the TrainState; the static
+    fields (apply_fn, tx) are reconstructed from config at restore time."""
+    return {
+        "step": state.step,
+        "params": state.params,
+        "ema_params": state.ema_params,
+        "opt_state": state.opt_state,
+        "rng": state.rng,
+    }
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 save_interval_steps: int = 1):
+        self._mngr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                save_interval_steps=save_interval_steps,
+                create=True,
+            ),
+        )
+
+    def save(self, state: TrainState, force: bool = False) -> bool:
+        step = int(state.step)
+        if step in self._mngr.all_steps():
+            return False  # already saved this step (e.g. final flush)
+        return self._mngr.save(
+            step,
+            args=ocp.args.StandardSave(_array_state(state)),
+            force=force)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def restore(self, state: TrainState,
+                step: Optional[int] = None) -> TrainState:
+        """Restore into the shapes/shardings of ``state`` (a freshly
+        created TrainState acting as the abstract template)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError("no checkpoint to restore")
+        template = jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, _array_state(state))
+        restored = self._mngr.restore(
+            step, args=ocp.args.StandardRestore(template))
+        return state.replace(**restored)
+
+    def wait(self) -> None:
+        self._mngr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mngr.wait_until_finished()
+        self._mngr.close()

@@ -1,0 +1,126 @@
+"""Standalone sampling CLI — fills the reference's empty ``src/sampling.py``.
+
+Three modes:
+- single-run DDPM (1000-step ancestral) or DDIM (``--num-steps``/``--eta``)
+- SuperDiff superposition of two trained runs (``--run-dir2``, ``--mode``)
+
+Each batch is one compiled ``lax.scan``; batches stream PNG grids + an .npy
+stack into ``--out``. Covers the north-star configs: DDPM-1000 at 64²,
+DDIM 50/100 at 128², superposed sampling at 256².
+
+Usage:
+    python -m superdiff_tpu.cli.sample --run-dir outputs/PNEUMONIA/exp_r \
+        --method ddim --num-steps 50 --batch-size 8 --num-batches 2
+    python -m superdiff_tpu.cli.sample --run-dir TB_RUN --run-dir2 PNEU_RUN \
+        --mode or --out superposed/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Sample from trained runs")
+    p.add_argument("--run-dir", required=True,
+                   help="training run dir (config.yaml + checkpoints/)")
+    p.add_argument("--run-dir2", default=None,
+                   help="second run dir -> SuperDiff superposition")
+    p.add_argument("--step", type=int, default=None,
+                   help="checkpoint step (default: latest)")
+    p.add_argument("--method", choices=["ddpm", "ddim"], default="ddpm")
+    p.add_argument("--num-steps", type=int, default=None,
+                   help="DDIM steps (default 50) or DDPM override")
+    p.add_argument("--eta", type=float, default=0.0)
+    p.add_argument("--label", type=int, default=None,
+                   help="class label (default: unconditional/null)")
+    p.add_argument("--guidance", type=float, default=1.0)
+    p.add_argument("--mode", choices=["or", "and", "fixed"], default="or")
+    p.add_argument("--kappa", type=float, nargs=2, default=(0.5, 0.5))
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--num-batches", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="samples")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from superdiff_tpu.diffusion import ddpm_sample, ddim_sample
+    from superdiff_tpu.diffusion.superdiff import superdiff_sample
+    from superdiff_tpu.inference import load_run, make_eps_fn
+    from superdiff_tpu.utils.visualization import save_image_grid
+
+    cfg, model, schedule, ema = load_run(args.run_dir, step=args.step)
+    R = cfg.training.resolution
+    B = args.batch_size
+    shape = (B, R, R, 1)
+    os.makedirs(args.out, exist_ok=True)
+
+    superpose = args.run_dir2 is not None
+    if superpose:
+        cfg2, model2, schedule2, ema2 = load_run(args.run_dir2)
+        if cfg2.training.num_timesteps != cfg.training.num_timesteps:
+            raise ValueError("runs have different T; cannot superpose")
+        if cfg2.training.resolution != R:
+            raise ValueError("runs have different resolutions")
+        fns = [make_eps_fn(model, ema, args.label),
+               make_eps_fn(model2, ema2, args.label)]
+        sample_fn = jax.jit(lambda r: superdiff_sample(
+            schedule, fns, shape, r, mode=args.mode,
+            kappa=list(args.kappa), temperature=args.temperature))
+    else:
+        if cfg.model.conditional and args.label is not None:
+            y = jnp.full((B,), args.label, dtype=jnp.int32)
+            fn = make_eps_fn(model, ema, "per_sample")
+            extra = dict(y=y, guidance_scale=args.guidance,
+                         null_label=model.null_label)
+        else:
+            fn = make_eps_fn(model, ema, args.label)
+            extra = {}
+        if args.method == "ddim":
+            steps = args.num_steps or 50
+            sample_fn = jax.jit(lambda r: ddim_sample(
+                schedule, fn, shape, r, num_steps=steps, eta=args.eta,
+                **extra))
+        else:
+            sample_fn = jax.jit(lambda r: ddpm_sample(
+                schedule, fn, shape, r, **extra))
+
+    all_batches = []
+    for b in range(args.num_batches):
+        rng = jax.random.PRNGKey(args.seed + b)
+        tic = time.time()
+        out = sample_fn(rng)
+        if superpose:
+            x, logq = out
+            x.block_until_ready()
+            print(f"batch {b}: {time.time()-tic:.1f}s  "
+                  f"logq1-logq2 mean "
+                  f"{float(jnp.mean(logq[0]-logq[1])):.2f}")
+        else:
+            x = out
+            x.block_until_ready()
+            print(f"batch {b}: {time.time()-tic:.1f}s")
+        imgs = np.asarray(x)
+        all_batches.append(imgs)
+        save_image_grid(imgs, os.path.join(args.out, f"batch{b}.png"))
+
+    stack = np.concatenate(all_batches)
+    np.save(os.path.join(args.out, "samples.npy"), stack)
+    print(f"wrote {stack.shape[0]} samples to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

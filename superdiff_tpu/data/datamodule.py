@@ -1,0 +1,62 @@
+"""DataModule: dataset + splits + device pipeline as one object.
+
+The reference intended this abstraction but left the file empty
+(``src/data/datamodule.py``, 0 bytes — SURVEY.md §2.3). Bundles the
+folder-tree index, per-split batch iterators, and the on-device
+augment/normalize step keyed off the training config.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from superdiff_tpu.config import Config
+from superdiff_tpu.data.dataset import BatchIterator, ChestXrayIndex
+from superdiff_tpu.data.transforms import prepare_batch
+
+
+class DataModule:
+    def __init__(self, cfg: Config, dataset_root: str):
+        self.cfg = cfg
+        self.root = dataset_root
+        self._indices: Dict[str, ChestXrayIndex] = {}
+
+    def index(self, split: str) -> ChestXrayIndex:
+        if split not in self._indices:
+            self._indices[split] = ChestXrayIndex(
+                self.root, task=self.cfg.task, split=split,
+                class_filter=self.cfg.training.class_filter)
+        return self._indices[split]
+
+    def iterator(self, split: str, shuffle: Optional[bool] = None,
+                 batch_size: Optional[int] = None) -> BatchIterator:
+        t = self.cfg.training
+        return BatchIterator(
+            self.index(split),
+            batch_size=batch_size or t.batch_size,
+            resolution=t.resolution,
+            shuffle=shuffle if shuffle is not None else (split == "train"),
+            seed=t.seed,
+            resize_strategy=t.resize_strategy,
+            histogram_equalization=t.histogram_equalization,
+        )
+
+    def device_batches(self, split: str, rng: jax.Array
+                       ) -> Iterator[Dict[str, jnp.ndarray]]:
+        """Host batches -> device: augmented (train only) and normalized."""
+        t = self.cfg.training
+        aug = t.augmentation if split == "train" else "none"
+        for batch in self.iterator(split):
+            rng, aug_rng = jax.random.split(rng)
+            image = prepare_batch(jnp.asarray(batch["image"]), aug_rng,
+                                  augmentation=aug,
+                                  normalization=t.normalization)
+            yield {"image": image,
+                   "label": jnp.asarray(batch["label"])}
+
+    def class_counts(self, split: str) -> Dict[str, int]:
+        return self.index(split).class_counts()

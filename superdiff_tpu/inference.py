@@ -1,0 +1,70 @@
+"""Run-directory loading and epsilon-function construction for sampling.
+
+The bridge between training artifacts (config snapshot + Orbax checkpoints)
+and the samplers. The reference has no equivalent — its sampling module is
+an empty file and nothing ever loads its checkpoints (SURVEY.md §2.3, §5.4).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from superdiff_tpu.checkpoint import CheckpointManager
+from superdiff_tpu.config import Config, load_config
+from superdiff_tpu.diffusion import make_schedule
+from superdiff_tpu.diffusion.schedules import DiffusionSchedule
+from superdiff_tpu.models.presets import model_from_config
+from superdiff_tpu.training.state import create_train_state, make_optimizer
+
+
+def load_run(run_dir: str, step: Optional[int] = None
+             ) -> Tuple[Config, object, DiffusionSchedule, dict]:
+    """Load ``(cfg, model, schedule, ema_params)`` from a training run dir
+    (the directory containing ``config.yaml`` and ``checkpoints/``)."""
+    cfg_path = os.path.join(run_dir, "config.yaml")
+    if not os.path.exists(cfg_path):
+        raise FileNotFoundError(f"no config.yaml in {run_dir}")
+    cfg = load_config(cfg_path)
+    t = cfg.training
+    schedule = make_schedule(t.num_timesteps, kind=t.schedule,
+                             beta_start=t.beta_start, beta_end=t.beta_end)
+    model = model_from_config(cfg)
+    B, R = 1, t.resolution
+    x0 = jnp.zeros((B, R, R, 1))
+    t0 = jnp.zeros((B,), dtype=jnp.int32)
+    args = ((x0, t0, jnp.zeros((B,), dtype=jnp.int32))
+            if cfg.model.conditional else (x0, t0))
+    state = create_train_state(model, jax.random.PRNGKey(0), args,
+                               tx=make_optimizer())
+    ckpt_dir = os.path.join(run_dir, cfg.paths.checkpoint_dir)
+    mngr = CheckpointManager(ckpt_dir)
+    state = mngr.restore(state, step=step)
+    return cfg, model, schedule, state.ema_params
+
+
+def make_eps_fn(model, params,
+                label: Optional[int] = None) -> Callable:
+    """Build the sampler-facing eps function.
+
+    For conditional models, ``label=None`` means the null (unconditional)
+    label; a fixed int broadcasts over the batch. Returns a function with
+    the unconditional signature ``(x, t) -> eps`` when ``label`` is bound,
+    or the conditional ``(x, t, y)`` when the model is conditional and the
+    caller wants per-sample labels (pass ``label="per_sample"``).
+    """
+    conditional = getattr(model, "num_classes", 0) > 0
+    if not conditional:
+        return lambda x, t: model.apply(params, x, t)
+    if label == "per_sample":
+        return lambda x, t, y: model.apply(params, x, t, y)
+    fixed = model.null_label if label is None else int(label)
+
+    def fn(x, t):
+        y = jnp.full((x.shape[0],), fixed, dtype=jnp.int32)
+        return model.apply(params, x, t, y)
+
+    return fn

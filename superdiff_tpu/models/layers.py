@@ -50,6 +50,15 @@ class TimeEmbeddingMLP(nn.Module):
         return h
 
 
+def num_groups_for(channels: int, max_groups: int) -> int:
+    """Largest group count <= max_groups that divides ``channels`` (skip
+    concats produce counts like 48 where min() alone is not a divisor)."""
+    g = min(max_groups, channels)
+    while channels % g:
+        g -= 1
+    return g
+
+
 class ResBlock(nn.Module):
     """DDPM residual block with FiLM (scale-shift) conditioning.
 
@@ -67,8 +76,8 @@ class ResBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
         in_ch = x.shape[-1]
-        g1 = min(self.groups, in_ch)
-        g2 = min(self.groups, self.out_channels)
+        g1 = num_groups_for(in_ch, self.groups)
+        g2 = num_groups_for(self.out_channels, self.groups)
 
         h = nn.GroupNorm(num_groups=g1, epsilon=1e-5, dtype=jnp.float32,
                          name="norm_0")(x)
@@ -112,7 +121,7 @@ class SelfAttention2D(nn.Module):
 
         B, H, W, C = x.shape
         assert C % self.num_heads == 0, (C, self.num_heads)
-        h = nn.GroupNorm(num_groups=min(32, C), epsilon=1e-5,
+        h = nn.GroupNorm(num_groups=num_groups_for(C, 32), epsilon=1e-5,
                          dtype=jnp.float32, name="norm")(x)
         h = h.astype(self.compute_dtype).reshape(B, H * W, C)
         qkv = nn.Dense(3 * C, dtype=self.compute_dtype, name="qkv")(h)

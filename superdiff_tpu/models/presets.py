@@ -48,6 +48,25 @@ def build_model(preset: str = "small64",
                     **cfg)
 
 
+def model_from_config(cfg) -> CondUNet:
+    """Build the model a :class:`~superdiff_tpu.config.Config` describes —
+    the single source of truth shared by training, sampling and analysis
+    (a config snapshot must always rebuild the exact architecture that was
+    trained, or checkpoints fail to restore)."""
+    import jax.numpy as jnp
+
+    overrides = {}
+    if cfg.model.base_channels:
+        overrides["base_channels"] = cfg.model.base_channels
+    return build_model(
+        cfg.model.preset,
+        num_classes=cfg.model.num_classes if cfg.model.conditional else 0,
+        compute_dtype=jnp.bfloat16
+        if cfg.model.compute_dtype == "bfloat16" else jnp.float32,
+        dropout=cfg.model.dropout,
+        **overrides)
+
+
 def preset_for_resolution(resolution: int) -> str:
     if resolution not in RESOLUTION_TO_PRESET:
         raise ValueError(f"no preset for resolution {resolution} "

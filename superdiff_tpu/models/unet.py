@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from superdiff_tpu.models.layers import (
-    TimeEmbeddingMLP, ResBlock, SelfAttention2D, Downsample, Upsample)
+    TimeEmbeddingMLP, ResBlock, SelfAttention2D, Downsample, Upsample,
+    num_groups_for)
 
 
 class CondUNet(nn.Module):
@@ -121,7 +122,7 @@ class CondUNet(nn.Module):
                 resolution *= 2
         assert not skips
 
-        h = nn.GroupNorm(num_groups=min(self.groups, h.shape[-1]),
+        h = nn.GroupNorm(num_groups=num_groups_for(h.shape[-1], self.groups),
                          epsilon=1e-5, dtype=jnp.float32,
                          name="out_norm")(h.astype(jnp.float32))
         h = nn.silu(h)

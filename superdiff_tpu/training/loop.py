@@ -1,0 +1,200 @@
+"""The training engine: epoch loop, metrics, checkpoints, periodic samples.
+
+Capability of ``src/train/training_logic.py:13-71`` rebuilt TPU-first:
+- one jitted, donated, mesh-sharded train step (vs per-batch Python autograd)
+- EMA maintained inside the step (vs host-side ema-pytorch wrapper)
+- Orbax checkpoints of the full state with resume (vs save-only state_dicts)
+- metrics actually reach jsonl/TensorBoard/wandb (vs dangling writers)
+- every ``vis_every`` epochs: EMA-sampled images vs real batch PNG
+  (reference behavior, ``training_logic.py:50-61``), plus a loss curve at
+  the end (``:64-71``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from superdiff_tpu.checkpoint import CheckpointManager
+from superdiff_tpu.config import Config, save_config
+from superdiff_tpu.data.datamodule import DataModule
+from superdiff_tpu.data.synthetic import synthetic_xray_batch
+from superdiff_tpu.data.transforms import prepare_batch
+from superdiff_tpu.diffusion import make_schedule, ddpm_sample, ddim_sample
+from superdiff_tpu.models.presets import (
+    model_from_config, preset_for_resolution)
+from superdiff_tpu.parallel import make_mesh, shard_batch
+from superdiff_tpu.training.state import create_train_state, make_optimizer
+from superdiff_tpu.training.steps import make_train_step
+from superdiff_tpu.utils.env import resolve_paths, set_global_seeds
+from superdiff_tpu.utils.logger import init_logger
+from superdiff_tpu.utils.metrics import MetricsLogger
+from superdiff_tpu.utils.visualization import (
+    save_loss_curve, save_real_vs_generated)
+
+logger = logging.getLogger("superdiff_tpu")
+
+
+def _synthetic_batches(cfg: Config, epoch: int
+                       ) -> Iterator[Dict[str, jnp.ndarray]]:
+    """Synthetic data path for smoke runs / missing datasets."""
+    t = cfg.training
+    steps = t.steps_per_epoch or 4
+    for i in range(steps):
+        imgs, labels = synthetic_xray_batch(
+            t.batch_size, t.resolution, num_classes=cfg.model.num_classes,
+            seed=epoch * 10_000 + i, normalization="minmax")
+        rng = jax.random.PRNGKey(epoch * 10_000 + i)
+        image = prepare_batch(
+            jnp.asarray((imgs * 255).astype(np.uint8)), rng,
+            augmentation=t.augmentation, normalization=t.normalization)
+        yield {"image": image, "label": jnp.asarray(labels)}
+
+
+def train(cfg: Config,
+          dataset_root: Optional[str] = None,
+          resume: bool = True,
+          use_synthetic: bool = False) -> Dict[str, float]:
+    """Run training per config; returns summary metrics.
+
+    ``dataset_root`` overrides the resolved dataset path; when the dataset
+    is missing and ``use_synthetic``, the synthetic generator stands in
+    (CI/smoke mode).
+    """
+    t = cfg.training
+    if not cfg.model.preset:
+        cfg.model.preset = preset_for_resolution(t.resolution)
+    paths = resolve_paths(cfg).make_all()
+    init_logger(paths.log_dir, stdout=cfg.logging.stdout)
+    save_config(cfg, os.path.join(paths.output_dir, "config.yaml"))
+    root_key = set_global_seeds(t.seed)
+
+    # data
+    dm: Optional[DataModule] = None
+    root = dataset_root or paths.dataset_dir
+    if not use_synthetic:
+        dm = DataModule(cfg, root)
+        dm.index("train")  # fail fast if the tree is missing
+    steps_per_epoch = (t.steps_per_epoch if t.steps_per_epoch
+                       else (len(dm.iterator("train")) if dm else 4))
+
+    # model + schedule + state
+    schedule = make_schedule(t.num_timesteps, kind=t.schedule,
+                             beta_start=t.beta_start, beta_end=t.beta_end)
+    model = model_from_config(cfg)
+    conditional = cfg.model.conditional
+
+    B, R = t.batch_size, t.resolution
+    x0 = jnp.zeros((B, R, R, 1))
+    t0 = jnp.zeros((B,), dtype=jnp.int32)
+    sample_args = ((x0, t0, jnp.zeros((B,), dtype=jnp.int32))
+                   if conditional else (x0, t0))
+    tx = make_optimizer(
+        learning_rate=t.learning_rate, weight_decay=t.weight_decay,
+        grad_clip_norm=t.grad_clip_norm, warmup_steps=t.warmup_steps,
+        total_steps=steps_per_epoch * t.num_epochs,
+        schedule=t.lr_schedule)
+    state = create_train_state(model, root_key, sample_args, tx=tx,
+                               ema_decay=t.ema_decay)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(state.params))
+    logger.info("model %s: %s params", cfg.model.preset, f"{n_params:,}")
+
+    # mesh: shard over all local devices when >1
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    if mesh is not None and B % n_dev:
+        raise ValueError(f"batch_size {B} not divisible by {n_dev} devices")
+    step_fn = make_train_step(schedule, mesh=mesh, conditional=conditional,
+                              cfg_drop_prob=t.cfg_drop_prob,
+                              null_label=getattr(model, "null_label", 0),
+                              loss_type=t.loss_type)
+
+    # checkpointing / resume
+    ckpt = CheckpointManager(paths.checkpoint_dir,
+                             max_to_keep=t.keep_checkpoints)
+    start_epoch = 0
+    if resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        start_epoch = int(state.step) // max(steps_per_epoch, 1)
+        logger.info("resumed from step %d (epoch %d)", int(state.step),
+                    start_epoch)
+
+    metrics_log = MetricsLogger(
+        jsonl_path=os.path.join(paths.output_dir, "metrics.jsonl")
+        if cfg.logging.use_jsonl else None,
+        tensorboard_dir=paths.tensorboard_dir
+        if cfg.logging.use_tensorboard else None,
+        wandb_project=cfg.logging.wandb_project
+        if cfg.logging.use_wandb else None,
+        wandb_run_name=f"{cfg.experiment_id}_{cfg.run_id}",
+        wandb_dir=paths.wandb_dir)
+
+    all_losses = []
+    last_real = None
+    summary: Dict[str, float] = {}
+    for epoch in range(start_epoch, t.num_epochs):
+        epoch_losses = []
+        tic = time.time()
+        batches = (dm.device_batches("train",
+                                     jax.random.fold_in(root_key, epoch))
+                   if dm else _synthetic_batches(cfg, epoch))
+        for i, batch in enumerate(batches):
+            if t.steps_per_epoch and i >= t.steps_per_epoch:
+                break
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            if not conditional:
+                batch = {"image": batch["image"]}
+            state, m = step_fn(state, batch)
+            epoch_losses.append(float(m["loss"]))
+            last_real = batch["image"]
+        dt = time.time() - tic
+        avg = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+        all_losses.extend(epoch_losses)
+        imgs_per_sec = len(epoch_losses) * B / max(dt, 1e-9)
+
+        if (epoch + 1) % t.log_every == 0:
+            logger.info("epoch %d: avg_loss=%.4f (%.1f img/s)",
+                        epoch + 1, avg, imgs_per_sec)
+        metrics_log.log(int(state.step),
+                        {"epoch": epoch + 1, "avg_loss": avg,
+                         "images_per_sec": imgs_per_sec,
+                         "grad_norm": float(m["grad_norm"])})
+
+        if (epoch + 1) % t.save_every == 0:
+            ckpt.save(state)
+
+        if (epoch + 1) % t.vis_every == 0 and last_real is not None:
+            n_vis = min(8, B)
+            if conditional:
+                y_vis = jnp.arange(n_vis, dtype=jnp.int32) \
+                    % cfg.model.num_classes
+                fn = lambda xx, tt, yy: state.apply_fn(
+                    state.ema_params, xx, tt, yy)
+            else:
+                y_vis = None
+                fn = lambda xx, tt: state.apply_fn(state.ema_params, xx, tt)
+            gen = ddpm_sample(schedule, fn, (n_vis, R, R, 1),
+                              jax.random.fold_in(root_key, 7_000 + epoch),
+                              y=y_vis)
+            save_real_vs_generated(
+                np.asarray(last_real[:n_vis]), np.asarray(gen),
+                os.path.join(paths.output_dir,
+                             f"samples_epoch{epoch + 1}.png"))
+
+    if all_losses:
+        save_loss_curve(all_losses,
+                        os.path.join(paths.output_dir, "loss_curve.png"))
+        summary["final_loss"] = all_losses[-1]
+        summary["mean_last_epoch_loss"] = avg
+    ckpt.save(state, force=True)
+    ckpt.close()
+    metrics_log.close()
+    summary["steps"] = int(state.step)
+    return summary

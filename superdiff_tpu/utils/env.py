@@ -1,0 +1,79 @@
+"""Environment detection, seeding, and run-path resolution.
+
+Capability of ``src/utils/env.py``:
+- cluster detection by hostname sniff or env flag (``env.py:8-10``),
+- global seeding (``env.py:12-16``; here: numpy + python random + the JAX
+  root key — JAX PRNG is explicit, so ``root_key`` is returned, not hidden
+  global state),
+- experiment/run/task-keyed path resolution under a cluster-vs-local base
+  (``env.py:18-37``).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import socket
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from superdiff_tpu.config import Config
+
+
+def is_cluster() -> bool:
+    """True on the HPC/TPU-pod side: env override or hostname sniff."""
+    if os.environ.get("IS_CLUSTER") == "1":
+        return True
+    host = socket.gethostname().lower()
+    return any(tag in host for tag in ("login", "node", "tpu", "worker"))
+
+
+def set_global_seeds(seed: int) -> jax.Array:
+    """Seed python/numpy and return the JAX root key.
+
+    JAX randomness is functional — there is no global torch-style seed to
+    set; instead every consumer folds from this root key.
+    """
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+@dataclass
+class RunPaths:
+    base: str
+    dataset_dir: str
+    output_dir: str
+    checkpoint_dir: str
+    tensorboard_dir: str
+    wandb_dir: str
+    log_dir: str
+
+    def make_all(self) -> "RunPaths":
+        for p in (self.output_dir, self.checkpoint_dir,
+                  self.tensorboard_dir, self.wandb_dir, self.log_dir):
+            os.makedirs(p, exist_ok=True)
+        return self
+
+
+def resolve_paths(cfg: Config) -> RunPaths:
+    """Derive per-run directories keyed by experiment/run/task.
+
+    Mirrors the reference's layout semantics (``src/utils/env.py:18-37``):
+    ``<base>/<output_dir>/<task>/experiment_<E>_run_<R>/...`` with the base
+    picked by cluster detection.
+    """
+    base = cfg.paths.cluster_base if is_cluster() else cfg.paths.local_base
+    run_key = f"experiment_{cfg.experiment_id}_run_{cfg.run_id}"
+    out = os.path.join(base, cfg.paths.output_dir, cfg.task, run_key)
+    return RunPaths(
+        base=base,
+        dataset_dir=os.path.join(base, cfg.paths.dataset_subdir),
+        output_dir=out,
+        checkpoint_dir=os.path.join(out, cfg.paths.checkpoint_dir),
+        tensorboard_dir=os.path.join(out, cfg.paths.tensorboard_dir),
+        wandb_dir=os.path.join(out, cfg.paths.wandb_dir),
+        log_dir=out,
+    )

@@ -23,6 +23,13 @@ if not os.environ.get("SUPERDIFF_TPU_TEST_ON_TPU"):
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compile cache: the suite re-jits the same shapes across many
+# tests and runs; single-core CPU compiles dominate wall time otherwise.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 @pytest.fixture(scope="session")
 def devices8():

@@ -1,0 +1,77 @@
+"""Config tree tests (union schema per SURVEY.md §5.6)."""
+
+import os
+
+import pytest
+import yaml
+
+from superdiff_tpu.config import Config, load_config, save_config, to_dict
+
+
+def test_defaults_match_reference_hyperparams():
+    cfg = Config()
+    assert cfg.training.batch_size == 8          # backup.yml:7
+    assert cfg.training.num_epochs == 100        # backup.yml:8
+    assert cfg.training.num_timesteps == 1000    # backup.yml:9
+    assert cfg.training.learning_rate == 2e-4    # training_logic.py:15
+    assert cfg.training.ema_decay == 0.995       # training_logic.py:16
+    assert cfg.training.seed == 42               # train.py:48
+    assert cfg.logging.wandb_project == "super-diff-xray"  # train.py:53
+
+
+def test_yaml_roundtrip(tmp_path):
+    cfg = Config()
+    cfg.task = "TB"
+    cfg.training.batch_size = 16
+    path = str(tmp_path / "cfg.yaml")
+    save_config(cfg, path)
+    loaded = load_config(path)
+    assert loaded.task == "TB"
+    assert loaded.training.batch_size == 16
+    assert to_dict(loaded) == to_dict(cfg)
+
+
+def test_nested_yaml_load(tmp_path):
+    path = str(tmp_path / "cfg.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump({
+            "task": "TB",
+            "training": {"num_timesteps": 500, "augmentation": "medium"},
+            "logging": {"use_wandb": "false", "use_tensorboard": "true"},
+        }, f)
+    cfg = load_config(path)
+    assert cfg.training.num_timesteps == 500
+    assert cfg.training.augmentation == "medium"
+    assert cfg.logging.use_wandb is False       # string-bool coercion
+    assert cfg.logging.use_tensorboard is True
+
+
+def test_dotted_overrides():
+    cfg = load_config(overrides=["training.batch_size=32",
+                                 "model.preset=base128",
+                                 "sampling.eta=0.5",
+                                 "logging.use_wandb=true"])
+    assert cfg.training.batch_size == 32
+    assert cfg.model.preset == "base128"
+    assert cfg.sampling.eta == 0.5
+    assert cfg.logging.use_wandb is True
+
+
+def test_unknown_key_rejected(tmp_path):
+    path = str(tmp_path / "cfg.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump({"training": {"batchsize": 4}}, f)
+    with pytest.raises(KeyError):
+        load_config(path)
+    with pytest.raises(KeyError):
+        load_config(overrides=["nope.thing=1"])
+
+
+def test_bad_override_format():
+    with pytest.raises(ValueError):
+        load_config(overrides=["training.batch_size"])
+
+
+def test_tuple_coercion():
+    cfg = load_config(overrides=["superdiff.kappa=[0.3, 0.7]"])
+    assert cfg.superdiff.kappa == (0.3, 0.7)

@@ -96,6 +96,7 @@ class TrainingConfig:
     seed: int = 42                      # train.py:48
     num_epochs_warmstart: int = 0
     steps_per_epoch: Optional[int] = None  # cap (for smoke runs)
+    use_native_loader: bool = True      # C++ shard cache when buildable
 
 
 @dataclass

@@ -8,6 +8,7 @@ augment/normalize step keyed off the training config.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Iterator, Optional
 
 import jax
@@ -33,17 +34,49 @@ class DataModule:
         return self._indices[split]
 
     def iterator(self, split: str, shuffle: Optional[bool] = None,
-                 batch_size: Optional[int] = None) -> BatchIterator:
+                 batch_size: Optional[int] = None):
         t = self.cfg.training
+        shuffle = shuffle if shuffle is not None else (split == "train")
+        if t.use_native_loader and shuffle:
+            it = self._native_iterator(split, batch_size or t.batch_size)
+            if it is not None:
+                return it
         return BatchIterator(
             self.index(split),
             batch_size=batch_size or t.batch_size,
             resolution=t.resolution,
-            shuffle=shuffle if shuffle is not None else (split == "train"),
+            shuffle=shuffle,
             seed=t.seed,
             resize_strategy=t.resize_strategy,
             histogram_equalization=t.histogram_equalization,
         )
+
+    def _native_iterator(self, split: str, batch_size: int):
+        """C++ mmap+prefetch loader over a one-time-built shard; None when
+        the native library is unavailable (callers fall back to Python)."""
+        import logging
+
+        from superdiff_tpu.data.native_loader import (
+            NativeBatchIterator, build_shard_from_index)
+
+        if not NativeBatchIterator.available():
+            return None
+        t = self.cfg.training
+        shard = os.path.join(
+            self.root, ".shards",
+            f"{self.cfg.task}_{split}_{t.resolution}"
+            f"_{t.resize_strategy}"
+            f"{'_he' if t.histogram_equalization else ''}"
+            f"{'' if t.class_filter is None else f'_cf{t.class_filter}'}"
+            ".xrc")
+        if not os.path.exists(shard):
+            logging.getLogger("superdiff_tpu").info(
+                "building native shard %s", shard)
+            build_shard_from_index(
+                self.index(split), shard, t.resolution,
+                resize_strategy=t.resize_strategy,
+                histogram_equalization=t.histogram_equalization)
+        return NativeBatchIterator(shard, batch_size, seed=t.seed)
 
     def device_batches(self, split: str, rng: jax.Array
                        ) -> Iterator[Dict[str, jnp.ndarray]]:

@@ -1,0 +1,122 @@
+"""Evaluation CLI: FID + Itô log-density statistics for a trained run.
+
+The north-star metrics (BASELINE.md) are FID parity on the TB/pneumonia
+test sets and Itô log-density parity; the reference computes neither
+(SURVEY.md §6). Generates samples from a run, computes Fréchet distance
+against the test split under a chosen feature extractor, and (optionally,
+with ``--run-dir2``) the SuperDiff log-densities of superposed samples
+under both models.
+
+Usage:
+    python -m superdiff_tpu.cli.evaluate --run-dir RUN \
+        --dataset-root /data/xray --num-samples 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Evaluate a trained run")
+    p.add_argument("--run-dir", required=True)
+    p.add_argument("--run-dir2", default=None,
+                   help="second run: also evaluate superposed samples")
+    p.add_argument("--dataset-root", default=None,
+                   help="required for FID (test split as the real set)")
+    p.add_argument("--num-samples", type=int, default=64)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--method", choices=["ddpm", "ddim"], default="ddim")
+    p.add_argument("--num-steps", type=int, default=100)
+    p.add_argument("--extractor", choices=["diffusion", "random"],
+                   default="diffusion")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None,
+                   help="write metrics JSON here (default: <run>/eval.json)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from superdiff_tpu.analysis import (
+        FeatureExtractor, compute_fid)
+    from superdiff_tpu.diffusion import ddpm_sample, ddim_sample
+    from superdiff_tpu.diffusion.superdiff import superdiff_sample
+    from superdiff_tpu.inference import load_run, make_eps_fn
+
+    cfg, model, schedule, ema = load_run(args.run_dir)
+    R = cfg.training.resolution
+    B = args.batch_size
+    fn = make_eps_fn(model, ema)
+    results = {}
+
+    # --- generate ---
+    shape = (B, R, R, 1)
+    if args.method == "ddim":
+        sampler = jax.jit(lambda r: ddim_sample(
+            schedule, fn, shape, r, num_steps=args.num_steps))
+    else:
+        sampler = jax.jit(lambda r: ddpm_sample(schedule, fn, shape, r))
+    gen = []
+    n_batches = (args.num_samples + B - 1) // B
+    for i in range(n_batches):
+        x = sampler(jax.random.PRNGKey(args.seed + i))
+        gen.append(np.asarray(x))
+    gen = np.concatenate(gen)[:args.num_samples]
+    results["num_generated"] = int(len(gen))
+    results["sample_mean"] = float(gen.mean())
+    results["sample_std"] = float(gen.std())
+
+    # --- FID vs test split ---
+    if args.dataset_root:
+        from superdiff_tpu.data import DataModule
+
+        dm = DataModule(cfg, args.dataset_root)
+        ex = (FeatureExtractor("diffusion", params=ema, model=model,
+                               schedule=schedule)
+              if args.extractor == "diffusion"
+              else FeatureExtractor("random"))
+        real_batches = dm.device_batches("test", jax.random.PRNGKey(1))
+        gen_batches = [{"image": gen[i:i + B],
+                        "label": np.zeros(len(gen[i:i + B]), np.int32)}
+                       for i in range(0, len(gen), B)]
+        fid = compute_fid(ex, real_batches, gen_batches,
+                          max_samples=args.num_samples)
+        results["fid"] = float(fid)
+        results["fid_extractor"] = args.extractor
+
+    # --- superposed log-densities ---
+    if args.run_dir2:
+        cfg2, model2, schedule2, ema2 = load_run(args.run_dir2)
+        if cfg2.training.num_timesteps != cfg.training.num_timesteps:
+            raise ValueError("different T between runs")
+        fns = [fn, make_eps_fn(model2, ema2)]
+        xs, logq = jax.jit(lambda r: superdiff_sample(
+            schedule, fns, shape, r, mode="or"))(
+                jax.random.PRNGKey(args.seed))
+        logq = np.asarray(logq)
+        results["superdiff"] = {
+            "logq_model1_mean": float(logq[0].mean()),
+            "logq_model2_mean": float(logq[1].mean()),
+            "logq_gap_mean": float((logq[0] - logq[1]).mean()),
+            "logq_gap_std": float((logq[0] - logq[1]).std()),
+        }
+
+    out_path = args.out or os.path.join(args.run_dir, "eval.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,107 @@
+"""Evaluate CLI, profiling utils, and launch-script validation tests."""
+
+import json
+import os
+import subprocess
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from superdiff_tpu.config import Config
+from superdiff_tpu.utils.profiling import timed, trace
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    from superdiff_tpu.training.loop import train
+
+    base = tmp_path_factory.mktemp("evalbase")
+    cfg = Config()
+    cfg.experiment_id, cfg.run_id = "ev", "0"
+    cfg.paths.local_base = str(base)
+    cfg.training.batch_size = 8
+    cfg.training.resolution = 16
+    cfg.training.num_epochs = 1
+    cfg.training.num_timesteps = 50
+    cfg.training.steps_per_epoch = 2
+    cfg.training.vis_every = 100
+    cfg.model.base_channels = 8
+    train(cfg, use_synthetic=True)
+    return os.path.join(str(base), "outputs", "PNEUMONIA",
+                        "experiment_ev_run_0")
+
+
+@pytest.fixture(scope="module")
+def tree16(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("evtree")
+    rng = np.random.default_rng(0)
+    for cls in ("NORMAL", "PNEUMONIA"):
+        d = root / "PNEUMONIA" / "test" / cls
+        d.mkdir(parents=True)
+        for i in range(8):
+            arr = (rng.random((16, 16)) * 255).astype("uint8")
+            Image.fromarray(arr, "L").save(d / f"i{i}.png")
+    return str(root)
+
+
+def test_evaluate_cli_fid_and_stats(trained_run, tree16, tmp_path):
+    from superdiff_tpu.cli.evaluate import main
+
+    out = str(tmp_path / "eval.json")
+    rc = main(["--run-dir", trained_run, "--dataset-root", tree16,
+               "--num-samples", "8", "--batch-size", "8",
+               "--method", "ddim", "--num-steps", "5", "--out", out])
+    assert rc == 0
+    res = json.load(open(out))
+    assert res["num_generated"] == 8
+    assert np.isfinite(res["fid"]) and res["fid"] >= 0
+    assert "sample_mean" in res
+
+
+def test_evaluate_cli_superdiff_logq(trained_run, tmp_path):
+    from superdiff_tpu.cli.evaluate import main
+
+    out = str(tmp_path / "eval2.json")
+    rc = main(["--run-dir", trained_run, "--run-dir2", trained_run,
+               "--num-samples", "4", "--batch-size", "4",
+               "--method", "ddim", "--num-steps", "5", "--out", out])
+    assert rc == 0
+    res = json.load(open(out))
+    sd = res["superdiff"]
+    # identical models: densities must agree
+    assert abs(sd["logq_gap_mean"]) < 1.0
+    assert np.isfinite(sd["logq_model1_mean"])
+
+
+def test_timed_helper():
+    f = jax.jit(lambda x: x * 2 + 1)
+    dt, result = timed(f, jnp.ones((64, 64)), warmup=1, iters=2)
+    assert dt > 0
+    assert float(result[0, 0]) == 3.0
+
+
+def test_trace_writes_profile(tmp_path):
+    d = str(tmp_path / "prof")
+    with trace(d):
+        jax.jit(lambda x: x @ x)(jnp.ones((128, 128))).block_until_ready()
+    found = []
+    for root, _, files in os.walk(d):
+        found.extend(files)
+    assert found, "no profiler output written"
+
+
+def test_launch_train_arg_validation():
+    script = os.path.join(REPO, "scripts", "launch_train.sh")
+    r = subprocess.run([script, "-e", "e1"], capture_output=True, text=True)
+    assert r.returncode == 2
+    assert "required" in r.stderr
+    r = subprocess.run([script, "-e", "e", "-r", "r", "-d", "COVID"],
+                       capture_output=True, text=True)
+    assert r.returncode == 2
+    assert "TB or PNEUMONIA" in r.stderr

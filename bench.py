@@ -4,8 +4,9 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
 
 - "value": samples/sec/chip for full 1000-step DDPM ancestral sampling of
-  256×256 grayscale images with the flagship CondUNet (base256 preset),
-  measured on the default JAX backend (the real TPU chip under the driver).
+  256×256 grayscale images with the flagship CondUNet (eff256 preset —
+  space-to-depth stem, see models/presets.py), measured on the default JAX
+  backend (the real TPU chip under the driver).
 - "vs_baseline": speedup vs the reference stack's achievable number — the
   reference publishes no benchmarks (SURVEY.md §6, BASELINE.md), so the
   baseline is *measured here*: its tiny 5-block CNN (the architecture of
@@ -26,8 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BASELINE_MEASURED.json")
 RES = 256
-BATCH = 8
+BATCH = 16    # flat samples/sec from B=8 up; 16 is the sweet spot measured
 T = 1000
+PRESET = "eff256"
 
 
 def log(msg):
@@ -110,7 +112,7 @@ def measure_ours() -> float:
     from superdiff_tpu.models.presets import build_model
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
-    model = build_model("base256", num_classes=2)
+    model = build_model(PRESET, num_classes=2)
     shape = (BATCH, RES, RES, 1)
     x = jnp.zeros(shape, dtype=jnp.float32)
     t0 = jnp.zeros((BATCH,), dtype=jnp.int32)

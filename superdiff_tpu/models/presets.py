@@ -27,9 +27,16 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
     "base256": dict(base_channels=64, channel_mults=(1, 1, 2, 2, 4, 4),
                     num_res_blocks=2, attn_resolutions=(16,),
                     num_heads=4),
+    # TPU-efficient 256² flagship: space-to-depth stem moves the top level
+    # to 128² x 4ch — the plain-conv 256² level packs the 128-wide MXU
+    # contraction at <50% and holds ~60% of base256's FLOPs. ~2.5x fewer
+    # FLOPs per sample at equal pyramid depth below 128².
+    "eff256": dict(base_channels=64, channel_mults=(1, 2, 2, 4, 4),
+                   num_res_blocks=2, attn_resolutions=(16,),
+                   num_heads=4, pixel_shuffle=2),
 }
 
-RESOLUTION_TO_PRESET = {64: "small64", 128: "base128", 256: "base256"}
+RESOLUTION_TO_PRESET = {64: "small64", 128: "base128", 256: "eff256"}
 
 
 def build_model(preset: str = "small64",

@@ -160,6 +160,41 @@ def test_cond_unet_bf16_compute(rng):
     assert all(l.dtype == jnp.float32 for l in leaves)
 
 
+def test_space_to_depth_roundtrip(rng):
+    from superdiff_tpu.models.unet import space_to_depth, depth_to_space
+
+    x = jax.random.normal(rng, (2, 16, 16, 3))
+    for p in (2, 4):
+        y = space_to_depth(x, p)
+        assert y.shape == (2, 16 // p, 16 // p, 3 * p * p)
+        np.testing.assert_array_equal(np.asarray(depth_to_space(y, p)),
+                                      np.asarray(x))
+    with pytest.raises(ValueError):
+        space_to_depth(jnp.zeros((1, 15, 15, 1)), 2)
+
+
+def test_cond_unet_pixel_shuffle_stem(rng):
+    """eff256-style variant: space-to-depth stem, image-space I/O intact."""
+    model = _tiny_cond_unet(pixel_shuffle=2, attn_resolutions=(4,))
+    x = jax.random.normal(rng, (2, 16, 16, 1))
+    t = jnp.array([0, 999])
+    y = jnp.array([0, 1])
+    params = model.init(jax.random.PRNGKey(6), x, t, y)
+    out = model.apply(params, x, t, y)
+    assert out.shape == (2, 16, 16, 1)
+    assert np.isfinite(np.asarray(out)).all()
+    # zero-init head still holds through the depth-to-space inverse
+    assert float(jnp.abs(out).max()) == 0.0
+
+
+def test_eff256_preset_builds():
+    from superdiff_tpu.models.presets import build_model
+
+    m = build_model("eff256", num_classes=2)
+    assert m.pixel_shuffle == 2
+    assert m.channel_mults == (1, 2, 2, 4, 4)
+
+
 def test_cond_unet_grads_flow(rng):
     model = _tiny_cond_unet()
     x = jax.random.normal(rng, (2, 16, 16, 1))

@@ -56,6 +56,9 @@ class CondUNet(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     groups: int = 32
     pixel_shuffle: int = 1
+    fused_norm: bool = False  # opt-in Pallas GN+FiLM+SiLU (ops/fused_norm):
+                              # wins in isolation, loses end-to-end (see
+                              # ops/fused_norm.py docstring)
 
     @property
     def null_label(self) -> int:
@@ -91,6 +94,7 @@ class CondUNet(nn.Module):
             ch = self.base_channels * mult
             for block in range(self.num_res_blocks):
                 h = ResBlock(ch, compute_dtype=cd, groups=self.groups,
+                             fused_norm=self.fused_norm,
                              dropout=self.dropout,
                              name=f"down_{level}_block_{block}")(
                                  h, emb, deterministic)
@@ -107,11 +111,13 @@ class CondUNet(nn.Module):
         # --- middle ---
         mid_ch = self.base_channels * self.channel_mults[-1]
         h = ResBlock(mid_ch, compute_dtype=cd, groups=self.groups,
+                     fused_norm=self.fused_norm,
                      dropout=self.dropout, name="mid_block_0")(
                          h, emb, deterministic)
         h = SelfAttention2D(self.num_heads, compute_dtype=cd,
                             name="mid_attn")(h)
         h = ResBlock(mid_ch, compute_dtype=cd, groups=self.groups,
+                     fused_norm=self.fused_norm,
                      dropout=self.dropout, name="mid_block_1")(
                          h, emb, deterministic)
 
@@ -122,6 +128,7 @@ class CondUNet(nn.Module):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip.astype(cd)], axis=-1)
                 h = ResBlock(ch, compute_dtype=cd, groups=self.groups,
+                             fused_norm=self.fused_norm,
                              dropout=self.dropout,
                              name=f"up_{level}_block_{block}")(
                                  h, emb, deterministic)

@@ -70,3 +70,135 @@ def test_dispatch_uses_xla_on_cpu(rng):
     q, k, v = _rand_qkv(rng, S=2048, D=64)
     out = multihead_attention(q, k, v)   # would crash if it tried Mosaic
     assert out.shape == q.shape
+
+
+# --------------------------------------------- fused GroupNorm+FiLM+SiLU ---
+
+from superdiff_tpu.ops.fused_norm import (  # noqa: E402
+    _xla_gn_silu, fused_groupnorm_silu)
+
+
+def _gn_inputs(rng, B=2, H=16, W=16, C=32, dtype=jnp.float32):
+    ks = jax.random.split(rng, 5)
+    x = jax.random.normal(ks[0], (B, H, W, C), dtype=dtype)
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[1], (C,))
+    beta = 0.1 * jax.random.normal(ks[2], (C,))
+    scale = 0.2 * jax.random.normal(ks[3], (B, C))
+    shift = 0.2 * jax.random.normal(ks[4], (B, C))
+    return x, gamma, beta, scale, shift
+
+
+def _numpy_gn_silu(x, gamma, beta, scale, shift, G, eps=1e-5):
+    x = np.asarray(x, np.float32)
+    B, H, W, C = x.shape
+    xg = x.reshape(B, H * W, G, C // G)
+    m = xg.mean(axis=(1, 3), keepdims=True)
+    v = xg.var(axis=(1, 3), keepdims=True)
+    y = ((xg - m) / np.sqrt(v + eps)).reshape(B, H, W, C)
+    y = y * np.asarray(gamma) + np.asarray(beta)
+    if scale is not None:
+        y = y * (1 + np.asarray(scale)[:, None, None, :]) \
+            + np.asarray(shift)[:, None, None, :]
+    return y / (1 + np.exp(-y))
+
+
+def test_xla_gn_silu_matches_numpy(rng):
+    x, gamma, beta, scale, shift = _gn_inputs(rng)
+    got = _xla_gn_silu(x, gamma, beta, scale, shift, 8, 1e-5)
+    expect = _numpy_gn_silu(x, gamma, beta, scale, shift, 8)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("G,C,film", [(8, 32, True), (8, 32, False),
+                                      (16, 48, True)])
+def test_fused_gn_silu_pallas_parity(rng, G, C, film):
+    """Pallas kernel (interpreter) vs XLA reference, incl. non-pow2 group
+    width (C=48, G=16 -> width 3, from up-path skip concats)."""
+    x, gamma, beta, scale, shift = _gn_inputs(rng, C=C)
+    if not film:
+        scale = shift = None
+    got = fused_groupnorm_silu(x, gamma, beta, G, scale, shift,
+                               force="pallas", interpret=True)
+    expect = _xla_gn_silu(x, gamma, beta, scale, shift, G, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_gn_silu_chunked_channels(rng):
+    """Force multi-chunk grids: a tight budget drops the chunk to a
+    lane-aligned (128) divisor below C."""
+    import superdiff_tpu.ops.fused_norm as fn
+
+    x, gamma, beta, scale, shift = _gn_inputs(rng, B=1, H=8, W=8, C=256)
+    assert fn._chunk_channels(256, 64, 64, 4) == 256
+    old = fn._BLOCK_BUDGET
+    fn._BLOCK_BUDGET = 8 * 8 * 128 * 4   # chunk of 128 channels max
+    try:
+        assert fn._chunk_channels(256, 64, 64, 4) == 128
+        got = fused_groupnorm_silu(x, gamma, beta, 4, scale, shift,
+                                   force="pallas", interpret=True)
+    finally:
+        fn._BLOCK_BUDGET = old
+    expect = _xla_gn_silu(x, gamma, beta, scale, shift, 4, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_chunk_rule_mosaic_alignment():
+    """Chunks below C must be 128-divisible (Mosaic trailing-dim tiling);
+    ineligible shapes report 0 -> XLA fallback."""
+    from superdiff_tpu.ops.fused_norm import _chunk_channels, _BLOCK_BUDGET
+
+    # C=192 (up-path concat), gw=6, HW=16384, bf16: full C doesn't fit the
+    # budget and no 128-divisible divisor of 192 exists -> 0.
+    assert _chunk_channels(192, 6, 16384, 2) == 0
+    # C=64, HW=16384, bf16 = 2 MB: exactly at budget -> whole C.
+    assert _BLOCK_BUDGET >= 16384 * 64 * 2
+    assert _chunk_channels(64, 2, 16384, 2) == 64
+
+
+def test_fused_gn_silu_bf16(rng):
+    x, gamma, beta, scale, shift = _gn_inputs(rng, dtype=jnp.bfloat16)
+    got = fused_groupnorm_silu(x, gamma, beta, 8, scale, shift,
+                               force="pallas", interpret=True)
+    assert got.dtype == jnp.bfloat16
+    expect = _xla_gn_silu(x, gamma, beta, scale, shift, 8, 1e-5)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(expect, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_fused_gn_silu_grad_fallback(rng):
+    x, gamma, beta, scale, shift = _gn_inputs(rng, H=8, W=8)
+
+    def loss_pallas(x, gamma, beta, scale, shift):
+        return jnp.sum(fused_groupnorm_silu(
+            x, gamma, beta, 8, scale, shift,
+            force="pallas", interpret=True) ** 2)
+
+    def loss_xla(x, gamma, beta, scale, shift):
+        return jnp.sum(_xla_gn_silu(x, gamma, beta, scale, shift,
+                                    8, 1e-5) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(
+        x, gamma, beta, scale, shift)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(
+        x, gamma, beta, scale, shift)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_fused_gn_silu_dispatch_cpu(rng):
+    """Auto dispatch on CPU takes the XLA path (no Mosaic crash)."""
+    x, gamma, beta, scale, shift = _gn_inputs(rng)
+    out = fused_groupnorm_silu(x, gamma, beta, 8, scale, shift)
+    assert out.shape == x.shape
+
+
+def test_fused_gn_silu_validation(rng):
+    x, gamma, beta, scale, shift = _gn_inputs(rng)
+    with pytest.raises(ValueError):
+        fused_groupnorm_silu(x, gamma, beta, 7)        # C % G != 0
+    with pytest.raises(ValueError):
+        fused_groupnorm_silu(x, gamma, beta, 8, scale, None)

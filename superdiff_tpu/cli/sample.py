@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-batches", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="samples")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard each batch over all devices (data axis)")
     return p
 
 
@@ -67,6 +69,23 @@ def main(argv=None) -> int:
     shape = (B, R, R, 1)
     os.makedirs(args.out, exist_ok=True)
 
+    mesh = None
+    if args.data_parallel:
+        from superdiff_tpu.parallel import (make_mesh,
+                                            maybe_init_distributed)
+        maybe_init_distributed()
+        mesh = make_mesh()
+        n = mesh.devices.size
+        if B % n:
+            raise ValueError(f"--batch-size {B} not divisible by "
+                             f"{n} devices")
+
+    def compile_sampler(fn, with_logq=False):
+        if mesh is None:
+            return jax.jit(fn)
+        from superdiff_tpu.parallel import shard_sample
+        return shard_sample(fn, mesh, with_logq=with_logq)
+
     superpose = args.run_dir2 is not None
     if superpose:
         cfg2, model2, schedule2, ema2 = load_run(args.run_dir2)
@@ -76,9 +95,10 @@ def main(argv=None) -> int:
             raise ValueError("runs have different resolutions")
         fns = [make_eps_fn(model, ema, args.label),
                make_eps_fn(model2, ema2, args.label)]
-        sample_fn = jax.jit(lambda r: superdiff_sample(
+        sample_fn = compile_sampler(lambda r: superdiff_sample(
             schedule, fns, shape, r, mode=args.mode,
-            kappa=list(args.kappa), temperature=args.temperature))
+            kappa=list(args.kappa), temperature=args.temperature),
+            with_logq=True)
     else:
         if cfg.model.conditional and args.label is not None:
             y = jnp.full((B,), args.label, dtype=jnp.int32)
@@ -90,11 +110,11 @@ def main(argv=None) -> int:
             extra = {}
         if args.method == "ddim":
             steps = args.num_steps or 50
-            sample_fn = jax.jit(lambda r: ddim_sample(
+            sample_fn = compile_sampler(lambda r: ddim_sample(
                 schedule, fn, shape, r, num_steps=steps, eta=args.eta,
                 **extra))
         else:
-            sample_fn = jax.jit(lambda r: ddpm_sample(
+            sample_fn = compile_sampler(lambda r: ddpm_sample(
                 schedule, fn, shape, r, **extra))
 
     all_batches = []

@@ -1,5 +1,7 @@
 from superdiff_tpu.parallel.mesh import (
-    make_mesh, batch_sharding, replicated_sharding, shard_batch)
+    make_mesh, batch_sharding, replicated_sharding, shard_batch,
+    shard_sample, maybe_init_distributed, DATA_AXIS, MODEL_AXIS)
 
 __all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
-           "shard_batch"]
+           "shard_batch", "shard_sample", "maybe_init_distributed",
+           "DATA_AXIS", "MODEL_AXIS"]

@@ -72,3 +72,19 @@ def shard_batch(batch, mesh: Mesh):
     """Device-put a host batch (pytree of arrays) sharded on the data axis."""
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), batch)
+
+
+def shard_sample(sample_fn, mesh: Mesh, with_logq: bool = False):
+    """Jit a sampler with its batch sharded over the mesh's data axis.
+
+    ``sample_fn(rng) -> x`` (or ``(x, logq)`` for SuperDiff, ``logq`` being
+    ``(models, batch)``). Samplers are collective-free per sample — the scan
+    partitions cleanly across the batch, each chip running its slice of
+    every denoiser call; XLA needs only the out_shardings hint. SuperDiff
+    log-densities are per-sample, so they shard with the batch too
+    (SURVEY.md §5.8's TPU-native sharded-sampling mandate).
+    """
+    xs = batch_sharding(mesh)
+    out_sh = (xs, NamedSharding(mesh, P(None, DATA_AXIS))) if with_logq \
+        else xs
+    return jax.jit(sample_fn, out_shardings=out_sh)

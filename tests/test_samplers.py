@@ -124,3 +124,51 @@ def test_guidance_stacked_batch(schedule, rng):
                     guidance_scale=2.0, null_label=0)
     assert calls["batch"] == 2 * SHAPE[0]
     assert np.isfinite(np.asarray(x)).all()
+
+
+# ------------------------------------------------- data-parallel sampling ---
+
+def test_shard_sample_matches_single_device(schedule, rng, devices8):
+    """DP-sharded sampling (SURVEY.md §5.8): same program partitioned over
+    the mesh batch axis must reproduce the single-device samples."""
+    from superdiff_tpu.parallel import make_mesh, shard_sample, DATA_AXIS
+
+    mesh = make_mesh(8)
+    shape = (8, 8, 8, 1)
+    fn = lambda r: ddpm_sample(schedule, linear_model, shape, r)
+    plain = jax.jit(fn)(rng)
+    sharded_fn = shard_sample(fn, mesh)
+    sharded = sharded_fn(rng)
+    spec = sharded.sharding.spec
+    assert spec[0] == DATA_AXIS, spec
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_shard_sample_superdiff_logq(schedule, rng, devices8):
+    from superdiff_tpu.diffusion.superdiff import superdiff_sample
+    from superdiff_tpu.parallel import make_mesh, shard_sample, DATA_AXIS
+
+    mesh = make_mesh(8)
+    shape = (8, 8, 8, 1)
+    model2 = lambda x, t: 0.2 * x
+    fn = lambda r: superdiff_sample(schedule, [linear_model, model2],
+                                    shape, r, mode="or")
+    xs, logq = shard_sample(fn, mesh, with_logq=True)(rng)
+    assert xs.sharding.spec[0] == DATA_AXIS
+    assert logq.sharding.spec[1] == DATA_AXIS       # (models, batch)
+    x0, l0 = jax.jit(fn)(rng)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(x0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(logq), np.asarray(l0),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_sample_cli_rejects_bad_dp_batch(tmp_path):
+    """--data-parallel with a batch not divisible by the device count."""
+    from superdiff_tpu.parallel import make_mesh
+
+    n = len(jax.devices())
+    if n < 2:
+        pytest.skip("needs multiple devices")
+    assert make_mesh().devices.size == n  # flag's mesh sees all devices

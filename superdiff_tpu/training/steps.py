@@ -74,7 +74,11 @@ def make_train_step(schedule: DiffusionSchedule,
                                   opt_state=opt_state, rng=rng)
         return new_state, {"loss": loss, "grad_norm": grad_norm}
 
-    if mesh is None:
+    if mesh is None or mesh.devices.size == 1:
+        # Plain jit on a single device: explicit in/out shardings on a
+        # 1-device mesh trigger a per-call reshard of the whole state on
+        # remote PJRT backends (measured ~100x slowdown on the axon
+        # tunnel) and buy nothing.
         return jax.jit(step_fn, donate_argnums=(0,))
 
     repl = NamedSharding(mesh, P())
@@ -107,7 +111,7 @@ def make_eval_step(schedule: DiffusionSchedule,
         model_fn = lambda xt, t: state.apply_fn(state.ema_params, xt, t)
         return loss_fn_impl(schedule, model_fn, x, rng, loss_type=loss_type)
 
-    if mesh is None:
+    if mesh is None or mesh.devices.size == 1:
         return jax.jit(eval_fn)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))

@@ -118,10 +118,12 @@ def measure_ours() -> float:
     t0 = jnp.zeros((BATCH,), dtype=jnp.int32)
     y = jnp.zeros((BATCH,), dtype=jnp.int32)
 
+    from superdiff_tpu.utils.env import host_init
+
     tic = time.time()
-    params = model.init(jax.random.PRNGKey(0), x, t0, y)
+    params = host_init(model.init, jax.random.PRNGKey(0), x, t0, y)
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
-    log(f"init {n_params:,} params in {time.time()-tic:.0f}s")
+    log(f"init {n_params:,} params in {time.time()-tic:.0f}s (host CPU)")
 
     schedule = make_schedule(T)
     apply_fn = lambda xx, tt, yy: model.apply(params, xx, tt, yy)

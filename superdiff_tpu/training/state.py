@@ -70,8 +70,12 @@ def create_train_state(model,
     ``sample_input``: args for ``model.init`` after the rng, e.g.
     ``(x, t)`` or ``(x, t, y)``.
     """
+    from superdiff_tpu.utils.env import host_init
+
     init_rng, state_rng = jax.random.split(rng)
-    params = model.init(init_rng, *sample_input)
+    # init compiles on host CPU (seconds) instead of the accelerator
+    # (minutes on remote backends); params transfer once.
+    params = host_init(model.init, init_rng, *sample_input)
     tx = tx if tx is not None else make_optimizer()
     return TrainState(
         step=jnp.zeros((), dtype=jnp.int32),

@@ -77,3 +77,26 @@ def resolve_paths(cfg: Config) -> RunPaths:
         wandb_dir=os.path.join(out, cfg.paths.wandb_dir),
         log_dir=out,
     )
+
+
+def host_init(init_fn, *args):
+    """Run a (potentially expensive-to-compile) init function on the host
+    CPU backend and transfer the result to the default device.
+
+    ``model.init`` of the flagship UNet takes minutes to compile on remote
+    TPU backends (every init is a fresh XLA program) but seconds on host
+    CPU; parameters are backend-agnostic, so initialize where compiles are
+    cheap and ship the pytree once (measured 263 s -> 51 s for eff256 on
+    the v5e tunnel). No-op placement-wise when the default backend already
+    is the CPU.
+    """
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return init_fn(*args)
+    default = jax.devices()[0]
+    with jax.default_device(cpu):
+        out = init_fn(*args)
+    if default == cpu:
+        return out
+    return jax.device_put(out, default)

@@ -34,6 +34,12 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
     "eff256": dict(base_channels=64, channel_mults=(1, 2, 2, 4, 4),
                    num_res_blocks=2, attn_resolutions=(16,),
                    num_heads=4, pixel_shuffle=2),
+    # Max-throughput 256² variant: shuffle by 4 (top level 64² x 16ch).
+    # More aggressive than common practice — prefer eff256 unless sampling
+    # throughput dominates quality requirements.
+    "fast256": dict(base_channels=64, channel_mults=(1, 2, 4, 4),
+                    num_res_blocks=2, attn_resolutions=(16,),
+                    num_heads=4, pixel_shuffle=4),
 }
 
 RESOLUTION_TO_PRESET = {64: "small64", 128: "base128", 256: "eff256"}

@@ -219,3 +219,16 @@ def test_cond_unet_grads_flow(rng):
     norms = [float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g)]
     assert np.isfinite(norms).all()
     assert sum(n > 0 for n in norms) > len(norms) // 2
+
+
+def test_fast256_preset_builds_and_runs(rng):
+    from superdiff_tpu.models.presets import build_model
+
+    m = build_model("fast256", num_classes=2, base_channels=8,
+                    attn_resolutions=(4,))
+    assert m.pixel_shuffle == 4
+    x = jnp.zeros((1, 32, 32, 1))
+    t = jnp.array([1]); y = jnp.array([0])
+    params = m.init(rng, x, t, y)
+    out = m.apply(params, x, t, y)
+    assert out.shape == (1, 32, 32, 1)

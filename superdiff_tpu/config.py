@@ -136,6 +136,8 @@ class LoggingConfig:
     use_jsonl: bool = True
     stdout: bool = True
     wandb_project: str = "super-diff-xray"  # train.py:53
+    profile_steps: int = 0              # >0: jax.profiler trace of N early
+                                        # steps into <output>/profile/
 
 
 @dataclass

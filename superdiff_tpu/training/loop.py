@@ -60,12 +60,23 @@ def _synthetic_batches(cfg: Config, epoch: int
 def train(cfg: Config,
           dataset_root: Optional[str] = None,
           resume: bool = True,
-          use_synthetic: bool = False) -> Dict[str, float]:
+          use_synthetic: bool = False,
+          should_stop=None) -> Dict[str, float]:
     """Run training per config; returns summary metrics.
 
     ``dataset_root`` overrides the resolved dataset path; when the dataset
     is missing and ``use_synthetic``, the synthetic generator stands in
     (CI/smoke mode).
+
+    Preemption safety (SURVEY.md §5.3 — the reference loses all in-flight
+    state on its SLURM wall kill): SIGTERM/SIGINT request a graceful stop —
+    the loop finishes the current step, force-saves a checkpoint, and
+    returns; the launcher's restart loop then resumes from it. A custom
+    ``should_stop() -> bool`` hook composes with the signal path (tests,
+    schedulers).
+
+    Profiling (§5.1): ``logging.profile_steps = N`` traces steps 2..2+N of
+    the first epoch into ``<output>/profile/`` (TensorBoard-readable).
     """
     t = cfg.training
     if not cfg.model.preset:
@@ -135,9 +146,32 @@ def train(cfg: Config,
         wandb_run_name=f"{cfg.experiment_id}_{cfg.run_id}",
         wandb_dir=paths.wandb_dir)
 
+    # graceful-stop plumbing: SIGTERM/SIGINT (preemption) or a custom hook
+    import signal
+    stop_flag = {"stop": False}
+
+    def _request_stop(signum, frame):  # pragma: no cover - signal timing
+        logger.info("signal %d: finishing step, checkpointing, exiting",
+                    signum)
+        stop_flag["stop"] = True
+
+    prev_handlers = {}
+    try:
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            prev_handlers[sig] = signal.signal(sig, _request_stop)
+    except ValueError:  # not the main thread; hook-only stopping
+        prev_handlers = {}
+
+    def _stopping() -> bool:
+        return stop_flag["stop"] or bool(should_stop and should_stop())
+
+    profile_after = 1 if cfg.logging.profile_steps > 0 else -1
+    profiling = False
+
     all_losses = []
     last_real = None
     summary: Dict[str, float] = {}
+    stopped = False
     for epoch in range(start_epoch, t.num_epochs):
         epoch_losses = []
         tic = time.time()
@@ -151,9 +185,28 @@ def train(cfg: Config,
                 batch = shard_batch(batch, mesh)
             if not conditional:
                 batch = {"image": batch["image"]}
+            if epoch == start_epoch and i == profile_after:
+                jax.profiler.start_trace(
+                    os.path.join(paths.output_dir, "profile"))
+                profiling = True
             state, m = step_fn(state, batch)
             epoch_losses.append(float(m["loss"]))
             last_real = batch["image"]
+            if profiling and i >= profile_after + cfg.logging.profile_steps:
+                jax.block_until_ready(m)
+                jax.profiler.stop_trace()
+                profiling = False
+            if _stopping():
+                ckpt.save(state, force=True)
+                stopped = True
+                break
+        if profiling:   # epoch shorter than the trace window
+            jax.profiler.stop_trace()
+            profiling = False
+        if stopped:
+            logger.info("stopped at step %d; checkpoint saved",
+                        int(state.step))
+            break
         dt = time.time() - tic
         avg = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
         all_losses.extend(epoch_losses)
@@ -188,13 +241,17 @@ def train(cfg: Config,
                 os.path.join(paths.output_dir,
                              f"samples_epoch{epoch + 1}.png"))
 
+    for sig, h in prev_handlers.items():
+        signal.signal(sig, h)
     if all_losses:
         save_loss_curve(all_losses,
                         os.path.join(paths.output_dir, "loss_curve.png"))
         summary["final_loss"] = all_losses[-1]
-        summary["mean_last_epoch_loss"] = avg
+        summary["mean_last_epoch_loss"] = (
+            avg if not stopped else float(np.mean(epoch_losses)))
     ckpt.save(state, force=True)
     ckpt.close()
     metrics_log.close()
     summary["steps"] = int(state.step)
+    summary["stopped_early"] = float(stopped)
     return summary

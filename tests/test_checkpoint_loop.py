@@ -183,3 +183,38 @@ def test_train_cli_parser():
     assert args.dataset == "TB"
     assert args.overrides == ["training.batch_size=4"]
     assert args.synthetic
+
+
+def test_train_loop_graceful_stop_and_resume(tmp_path):
+    """Preemption path: stop hook triggers a force-save + clean return,
+    and a fresh train() resumes from the saved step."""
+    cfg = _smoke_cfg(tmp_path, epochs=3)
+    calls = {"n": 0}
+
+    def stop_after_3_steps():
+        calls["n"] += 1
+        return calls["n"] >= 3
+
+    s = train(cfg, use_synthetic=True, should_stop=stop_after_3_steps)
+    assert s["stopped_early"] == 1.0
+    assert 0 < s["steps"] < 6
+    saved = s["steps"]
+    cfg2 = _smoke_cfg(tmp_path, epochs=3)
+    s2 = train(cfg2, use_synthetic=True)
+    # resume is epoch-granular: a mid-epoch stop replays the interrupted
+    # epoch, so the final step count is >= the uninterrupted total.
+    assert s2["steps"] >= 6
+    assert s2["stopped_early"] == 0.0
+    assert s2["steps"] > saved
+
+
+def test_train_loop_profile_steps(tmp_path):
+    cfg = _smoke_cfg(tmp_path, epochs=1)
+    cfg.logging.profile_steps = 1
+    train(cfg, use_synthetic=True)
+    prof = os.path.join(str(tmp_path), "outputs", "PNEUMONIA",
+                        "experiment_t_run_0", "profile")
+    found = []
+    for root, _, files in os.walk(prof):
+        found.extend(files)
+    assert found, "profiler wrote nothing"

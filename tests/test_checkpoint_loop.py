@@ -154,6 +154,22 @@ def test_sample_cli_from_trained_run(tmp_path):
     assert stack.shape == (2, 16, 16, 1)
     assert np.isfinite(stack).all()
 
+    # --data-parallel: shard the batch over all (8 virtual CPU) devices
+    dp_dir = str(tmp_path / "samples_dp")
+    rc = sample_main(["--run-dir", run_dir, "--method", "ddim",
+                      "--num-steps", "5", "--batch-size", "8",
+                      "--data-parallel", "--out", dp_dir])
+    assert rc == 0
+    dp = np.load(os.path.join(dp_dir, "samples.npy"))
+    assert dp.shape == (8, 16, 16, 1) and np.isfinite(dp).all()
+
+    # batch size not divisible by device count must be rejected
+    import pytest, jax
+    if len(jax.devices()) > 1:
+        with pytest.raises(ValueError, match="divisible"):
+            sample_main(["--run-dir", run_dir, "--batch-size", "3",
+                         "--data-parallel", "--out", dp_dir])
+
 
 def test_superdiff_cli_two_runs(tmp_path):
     cfg = _smoke_cfg(tmp_path, epochs=1)

@@ -49,11 +49,12 @@ attempt=0
 while true; do
   attempt=$((attempt + 1))
   echo "[launch_train] attempt $attempt: python -m superdiff_tpu.cli.train ${ARGS[*]} $*"
-  if python -m superdiff_tpu.cli.train "${ARGS[@]}" "$@"; then
+  code=0
+  python -m superdiff_tpu.cli.train "${ARGS[@]}" "$@" || code=$?
+  if (( code == 0 )); then
     echo "[launch_train] training completed"
     exit 0
   fi
-  code=$?
   if (( attempt >= MAX_RESTARTS )); then
     echo "[launch_train] giving up after $attempt attempts (exit $code)" >&2
     exit "$code"

@@ -14,7 +14,13 @@ TPU_NAME=${1:?tpu name}; ZONE=${2:?zone}
 shift 2
 [[ "${1:-}" == "--" ]] && shift
 
+# Quote each argument for the remote shell so spaces/quotes survive; the
+# repo must be checked out on every worker at $REMOTE_DIR (default: same
+# directory name under the worker home as locally).
+REMOTE_DIR=${REMOTE_DIR:-$(basename "$(pwd)")}
+CMD=$(printf '%q ' "$@")
+
 gcloud compute tpus tpu-vm ssh "$TPU_NAME" \
   --zone "$ZONE" \
   --worker=all \
-  --command "cd $(basename "$(pwd)") && SUPERDIFF_TPU_MULTIHOST=1 IS_CLUSTER=1 $*"
+  --command "cd $(printf '%q' "$REMOTE_DIR") && SUPERDIFF_TPU_MULTIHOST=1 IS_CLUSTER=1 $CMD"

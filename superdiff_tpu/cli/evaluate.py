@@ -81,8 +81,11 @@ def main(argv=None) -> int:
         from superdiff_tpu.data import DataModule
 
         dm = DataModule(cfg, args.dataset_root)
+        # probe timestep must exist in the run's schedule (the default 100
+        # would silently clamp to T-1 and extract noise features for T<=100)
+        probe_t = min(100, cfg.training.num_timesteps - 1)
         ex = (FeatureExtractor("diffusion", params=ema, model=model,
-                               schedule=schedule)
+                               schedule=schedule, timestep=probe_t)
               if args.extractor == "diffusion"
               else FeatureExtractor("random"))
         real_batches = dm.device_batches("test", jax.random.PRNGKey(1))
@@ -99,6 +102,8 @@ def main(argv=None) -> int:
         cfg2, model2, schedule2, ema2 = load_run(args.run_dir2)
         if cfg2.training.num_timesteps != cfg.training.num_timesteps:
             raise ValueError("different T between runs")
+        if cfg2.training.resolution != R:
+            raise ValueError("different resolutions between runs")
         fns = [fn, make_eps_fn(model2, ema2)]
         xs, logq = jax.jit(lambda r: superdiff_sample(
             schedule, fns, shape, r, mode="or"))(

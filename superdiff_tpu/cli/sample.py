@@ -63,18 +63,22 @@ def main(argv=None) -> int:
     from superdiff_tpu.inference import load_run, make_eps_fn
     from superdiff_tpu.utils.visualization import save_image_grid
 
+    mesh = None
+    if args.data_parallel:
+        from superdiff_tpu.parallel import (make_mesh,
+                                            maybe_init_distributed)
+        # multi-host init MUST precede any JAX computation (incl. the
+        # checkpoint restore below)
+        maybe_init_distributed()
+        mesh = make_mesh()
+
     cfg, model, schedule, ema = load_run(args.run_dir, step=args.step)
     R = cfg.training.resolution
     B = args.batch_size
     shape = (B, R, R, 1)
     os.makedirs(args.out, exist_ok=True)
 
-    mesh = None
-    if args.data_parallel:
-        from superdiff_tpu.parallel import (make_mesh,
-                                            maybe_init_distributed)
-        maybe_init_distributed()
-        mesh = make_mesh()
+    if mesh is not None:
         n = mesh.devices.size
         if B % n:
             raise ValueError(f"--batch-size {B} not divisible by "

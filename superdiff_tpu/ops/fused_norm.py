@@ -71,51 +71,25 @@ def _chunk_channels(C: int, group_width: int, hw: int, itemsize: int) -> int:
     return best
 
 
-def _spatial_tile(H: int, W: int, chunk: int, itemsize: int) -> int:
-    """Rows of H per in-kernel tile. Whole-block (tile_h == H) whenever the
-    block is within the budget — the straight-line whole-block kernel beats
-    both XLA and an in-kernel fori_loop (the loop serializes small VPU ops
-    and costs ~2-3x, measured); tiling only guards oversized blocks."""
-    tile_h = H
-    while (tile_h % 2 == 0 and tile_h > 1
-           and tile_h * W * chunk * itemsize > _BLOCK_BUDGET):
-        tile_h //= 2
-    return tile_h
-
-
 def _gn_silu_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref,
                     *, group_width: int, eps: float, film: bool):
     chunk = x_ref.shape[-1]
     H, W = x_ref.shape[1], x_ref.shape[2]
     hw = H * W
-    tile_h = _spatial_tile(H, W, chunk, x_ref.dtype.itemsize)
-    n_tiles = H // tile_h
-    thw = tile_h * W
-
-    def load(i):
-        return x_ref[0, pl.ds(i * tile_h, tile_h)].reshape(thw, chunk)
+    # The whole (H, W, chunk) slab is VMEM-resident (_chunk_channels caps
+    # the block at _BLOCK_BUDGET), so the kernel is straight-line — an
+    # in-kernel fori_loop over spatial tiles measured 2-3x slower (it
+    # serializes small VPU ops).
+    x = x_ref[0].reshape(hw, chunk)
 
     # Statistics via MXU dots: storage-dtype (bf16) operands, f32
     # accumulation — no f32 copy (and no x*x buffer) ever materializes.
     # sum(x^2) per channel is the diagonal of the x^T x Gram matrix.
-    ones = jnp.ones((8, thw), dtype=x_ref.dtype)
-
-    def stat_body(i, carry):
-        s1, gram = carry
-        xt = load(i)
-        s1 = s1 + jax.lax.dot(ones, xt,
-                              preferred_element_type=jnp.float32)
-        gram = gram + jax.lax.dot_general(
-            xt, xt, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        return s1, gram
-
-    init = (jnp.zeros((8, chunk), jnp.float32),
-            jnp.zeros((chunk, chunk), jnp.float32))
-    if n_tiles == 1:                 # static: straight-line, no loop
-        s1, gram = stat_body(0, init)
-    else:
-        s1, gram = jax.lax.fori_loop(0, n_tiles, stat_body, init)
+    ones = jnp.ones((8, hw), dtype=x_ref.dtype)
+    s1 = jax.lax.dot(ones, x, preferred_element_type=jnp.float32)
+    gram = jax.lax.dot_general(
+        x, x, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     ci = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     cj = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
@@ -142,23 +116,11 @@ def _gn_silu_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref,
         fs = 1.0 + scale_ref[0].reshape(1, chunk)
         mul = mul * fs
         off = off * fs + shift_ref[0].reshape(1, chunk)
-    mul = mul.astype(x_ref.dtype)
-    off = off.astype(x_ref.dtype)
-    one = jnp.asarray(1.0, x_ref.dtype)
-
-    def apply_body(i, _):
-        y = load(i) * mul + off
-        # SiLU via explicit exp: Mosaic's `logistic` lowering mis-broadcasts
-        # an f32 scalar into bf16 vectors (verifier error); exp is clean.
-        y = y / (jnp.exp(-y) + one)
-        o_ref[0, pl.ds(i * tile_h, tile_h)] = (
-            y.reshape(tile_h, W, chunk).astype(o_ref.dtype))
-        return 0
-
-    if n_tiles == 1:
-        apply_body(0, 0)
-    else:
-        jax.lax.fori_loop(0, n_tiles, apply_body, 0)
+    y = x * mul.astype(x_ref.dtype) + off.astype(x_ref.dtype)
+    # SiLU via explicit exp: Mosaic's `logistic` lowering mis-broadcasts
+    # an f32 scalar into bf16 vectors (verifier error); exp is clean.
+    y = y / (jnp.exp(-y) + jnp.asarray(1.0, x_ref.dtype))
+    o_ref[0] = y.reshape(H, W, chunk).astype(o_ref.dtype)
 
 
 def _pallas_gn_silu(x, gamma, beta, scale, shift, num_groups: int,
@@ -259,6 +221,7 @@ def fused_groupnorm_silu(x: jnp.ndarray,
         import os
         use_pallas = (jax.default_backend() == "tpu" and chunk > 0
                       and H * W >= 256
+                      and len(jax.devices()) == 1
                       and not os.environ.get("SUPERDIFF_TPU_DISABLE_PALLAS"))
     if not use_pallas:
         return _xla_gn_silu(x, gamma, beta, scale, shift, num_groups, eps)

@@ -172,77 +172,86 @@ def train(cfg: Config,
     last_real = None
     summary: Dict[str, float] = {}
     stopped = False
-    for epoch in range(start_epoch, t.num_epochs):
-        epoch_losses = []
-        tic = time.time()
-        batches = (dm.device_batches("train",
-                                     jax.random.fold_in(root_key, epoch))
-                   if dm else _synthetic_batches(cfg, epoch))
-        for i, batch in enumerate(batches):
-            if t.steps_per_epoch and i >= t.steps_per_epoch:
-                break
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            if not conditional:
-                batch = {"image": batch["image"]}
-            if epoch == start_epoch and i == profile_after:
-                jax.profiler.start_trace(
-                    os.path.join(paths.output_dir, "profile"))
-                profiling = True
-            state, m = step_fn(state, batch)
-            epoch_losses.append(float(m["loss"]))
-            last_real = batch["image"]
-            if profiling and i >= profile_after + cfg.logging.profile_steps:
-                jax.block_until_ready(m)
+    try:
+        for epoch in range(start_epoch, t.num_epochs):
+            epoch_losses = []
+            tic = time.time()
+            batches = (dm.device_batches("train",
+                                         jax.random.fold_in(root_key, epoch))
+                       if dm else _synthetic_batches(cfg, epoch))
+            for i, batch in enumerate(batches):
+                if t.steps_per_epoch and i >= t.steps_per_epoch:
+                    break
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
+                if not conditional:
+                    batch = {"image": batch["image"]}
+                if epoch == start_epoch and i == profile_after:
+                    jax.profiler.start_trace(
+                        os.path.join(paths.output_dir, "profile"))
+                    profiling = True
+                state, m = step_fn(state, batch)
+                epoch_losses.append(float(m["loss"]))
+                last_real = batch["image"]
+                if profiling and i >= profile_after + cfg.logging.profile_steps:
+                    jax.block_until_ready(m)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                if _stopping():
+                    ckpt.save(state, force=True)
+                    stopped = True
+                    break
+            if profiling:   # epoch shorter than the trace window
                 jax.profiler.stop_trace()
                 profiling = False
-            if _stopping():
-                ckpt.save(state, force=True)
-                stopped = True
+            if stopped:
+                logger.info("stopped at step %d; checkpoint saved",
+                            int(state.step))
                 break
-        if profiling:   # epoch shorter than the trace window
+            dt = time.time() - tic
+            avg = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+            all_losses.extend(epoch_losses)
+            imgs_per_sec = len(epoch_losses) * B / max(dt, 1e-9)
+
+            if (epoch + 1) % t.log_every == 0:
+                logger.info("epoch %d: avg_loss=%.4f (%.1f img/s)",
+                            epoch + 1, avg, imgs_per_sec)
+            metrics_log.log(int(state.step),
+                            {"epoch": epoch + 1, "avg_loss": avg,
+                             "images_per_sec": imgs_per_sec,
+                             "grad_norm": float(m["grad_norm"])})
+
+            if (epoch + 1) % t.save_every == 0:
+                ckpt.save(state)
+
+            if (epoch + 1) % t.vis_every == 0 and last_real is not None:
+                n_vis = min(8, B)
+                if conditional:
+                    y_vis = jnp.arange(n_vis, dtype=jnp.int32) \
+                        % cfg.model.num_classes
+                    fn = lambda xx, tt, yy: state.apply_fn(
+                        state.ema_params, xx, tt, yy)
+                else:
+                    y_vis = None
+                    fn = lambda xx, tt: state.apply_fn(state.ema_params, xx, tt)
+                gen = ddpm_sample(schedule, fn, (n_vis, R, R, 1),
+                                  jax.random.fold_in(root_key, 7_000 + epoch),
+                                  y=y_vis)
+                save_real_vs_generated(
+                    np.asarray(last_real[:n_vis]), np.asarray(gen),
+                    os.path.join(paths.output_dir,
+                                 f"samples_epoch{epoch + 1}.png"))
+    finally:
+        # Restore process-wide handlers and close an in-flight trace
+        # even when a step raises (NaN debug, OOM, data error) —
+        # otherwise the host process keeps a dead stop-flag as its
+        # SIGINT/SIGTERM handler and an open profiler session.
+        if profiling:
             jax.profiler.stop_trace()
             profiling = False
-        if stopped:
-            logger.info("stopped at step %d; checkpoint saved",
-                        int(state.step))
-            break
-        dt = time.time() - tic
-        avg = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
-        all_losses.extend(epoch_losses)
-        imgs_per_sec = len(epoch_losses) * B / max(dt, 1e-9)
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
 
-        if (epoch + 1) % t.log_every == 0:
-            logger.info("epoch %d: avg_loss=%.4f (%.1f img/s)",
-                        epoch + 1, avg, imgs_per_sec)
-        metrics_log.log(int(state.step),
-                        {"epoch": epoch + 1, "avg_loss": avg,
-                         "images_per_sec": imgs_per_sec,
-                         "grad_norm": float(m["grad_norm"])})
-
-        if (epoch + 1) % t.save_every == 0:
-            ckpt.save(state)
-
-        if (epoch + 1) % t.vis_every == 0 and last_real is not None:
-            n_vis = min(8, B)
-            if conditional:
-                y_vis = jnp.arange(n_vis, dtype=jnp.int32) \
-                    % cfg.model.num_classes
-                fn = lambda xx, tt, yy: state.apply_fn(
-                    state.ema_params, xx, tt, yy)
-            else:
-                y_vis = None
-                fn = lambda xx, tt: state.apply_fn(state.ema_params, xx, tt)
-            gen = ddpm_sample(schedule, fn, (n_vis, R, R, 1),
-                              jax.random.fold_in(root_key, 7_000 + epoch),
-                              y=y_vis)
-            save_real_vs_generated(
-                np.asarray(last_real[:n_vis]), np.asarray(gen),
-                os.path.join(paths.output_dir,
-                             f"samples_epoch{epoch + 1}.png"))
-
-    for sig, h in prev_handlers.items():
-        signal.signal(sig, h)
     if all_losses:
         save_loss_curve(all_losses,
                         os.path.join(paths.output_dir, "loss_curve.png"))

@@ -164,11 +164,5 @@ def test_shard_sample_superdiff_logq(schedule, rng, devices8):
                                rtol=1e-5, atol=1e-4)
 
 
-def test_sample_cli_rejects_bad_dp_batch(tmp_path):
-    """--data-parallel with a batch not divisible by the device count."""
-    from superdiff_tpu.parallel import make_mesh
-
-    n = len(jax.devices())
-    if n < 2:
-        pytest.skip("needs multiple devices")
-    assert make_mesh().devices.size == n  # flag's mesh sees all devices
+# (the --data-parallel CLI rejection path is covered end-to-end in
+# tests/test_checkpoint_loop.py::test_sample_cli_from_trained_run)

@@ -51,7 +51,8 @@ def main(argv=None) -> int:
         FeatureExtractor, compute_fid)
     from superdiff_tpu.diffusion import ddpm_sample, ddim_sample
     from superdiff_tpu.diffusion.superdiff import superdiff_sample
-    from superdiff_tpu.inference import load_run, make_eps_fn
+    from superdiff_tpu.inference import (check_superpose_compat, load_run,
+                                         make_eps_fn)
 
     cfg, model, schedule, ema = load_run(args.run_dir)
     R = cfg.training.resolution
@@ -100,10 +101,7 @@ def main(argv=None) -> int:
     # --- superposed log-densities ---
     if args.run_dir2:
         cfg2, model2, schedule2, ema2 = load_run(args.run_dir2)
-        if cfg2.training.num_timesteps != cfg.training.num_timesteps:
-            raise ValueError("different T between runs")
-        if cfg2.training.resolution != R:
-            raise ValueError("different resolutions between runs")
+        check_superpose_compat(cfg, cfg2)
         fns = [fn, make_eps_fn(model2, ema2)]
         xs, logq = jax.jit(lambda r: superdiff_sample(
             schedule, fns, shape, r, mode="or"))(

@@ -60,7 +60,8 @@ def main(argv=None) -> int:
 
     from superdiff_tpu.diffusion import ddpm_sample, ddim_sample
     from superdiff_tpu.diffusion.superdiff import superdiff_sample
-    from superdiff_tpu.inference import load_run, make_eps_fn
+    from superdiff_tpu.inference import (check_superpose_compat, load_run,
+                                         make_eps_fn)
     from superdiff_tpu.utils.visualization import save_image_grid
 
     mesh = None
@@ -93,10 +94,7 @@ def main(argv=None) -> int:
     superpose = args.run_dir2 is not None
     if superpose:
         cfg2, model2, schedule2, ema2 = load_run(args.run_dir2)
-        if cfg2.training.num_timesteps != cfg.training.num_timesteps:
-            raise ValueError("runs have different T; cannot superpose")
-        if cfg2.training.resolution != R:
-            raise ValueError("runs have different resolutions")
+        check_superpose_compat(cfg, cfg2)
         fns = [make_eps_fn(model, ema, args.label),
                make_eps_fn(model2, ema2, args.label)]
         sample_fn = compile_sampler(lambda r: superdiff_sample(

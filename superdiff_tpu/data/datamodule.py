@@ -25,6 +25,7 @@ class DataModule:
         self.cfg = cfg
         self.root = dataset_root
         self._indices: Dict[str, ChestXrayIndex] = {}
+        self._iterators: Dict[tuple, object] = {}
 
     def index(self, split: str) -> ChestXrayIndex:
         if split not in self._indices:
@@ -35,15 +36,28 @@ class DataModule:
 
     def iterator(self, split: str, shuffle: Optional[bool] = None,
                  batch_size: Optional[int] = None):
+        # One iterator per (split, shuffle, batch_size), cached: both
+        # BatchIterator and NativeBatchIterator advance an internal _epoch
+        # used as the shuffle-seed offset, so a fresh instance per epoch
+        # would replay the identical order (and drop the decode cache).
         t = self.cfg.training
         shuffle = shuffle if shuffle is not None else (split == "train")
+        key = (split, shuffle, batch_size or t.batch_size)
+        if key in self._iterators:
+            return self._iterators[key]
+        self._iterators[key] = self._build_iterator(
+            split, shuffle, batch_size or t.batch_size)
+        return self._iterators[key]
+
+    def _build_iterator(self, split: str, shuffle: bool, batch_size: int):
+        t = self.cfg.training
         if t.use_native_loader and shuffle:
-            it = self._native_iterator(split, batch_size or t.batch_size)
+            it = self._native_iterator(split, batch_size)
             if it is not None:
                 return it
         return BatchIterator(
             self.index(split),
-            batch_size=batch_size or t.batch_size,
+            batch_size=batch_size,
             resolution=t.resolution,
             shuffle=shuffle,
             seed=t.seed,

@@ -30,11 +30,14 @@ MAGIC = b"XRC1"
 
 
 def _load_lib() -> Optional[ctypes.CDLL]:
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    # Always invoke make: the .so is not committed (build artifact), and a
+    # fresh build is a no-op when xraycache.cpp is unchanged — a stale
+    # binary must never shadow a source edit.
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

@@ -46,6 +46,27 @@ def load_run(run_dir: str, step: Optional[int] = None
     return cfg, model, schedule, state.ema_params
 
 
+def check_superpose_compat(cfg: Config, cfg2: Config) -> None:
+    """Raise unless two runs share the diffusion process.
+
+    SuperDiff converts each model's eps to a score via run 1's sigmas; a
+    second model trained under a different beta schedule (or T, or
+    resolution) would get mathematically wrong log-densities and mixing.
+    """
+    t, t2 = cfg.training, cfg2.training
+    if t2.num_timesteps != t.num_timesteps:
+        raise ValueError("runs have different T; cannot superpose")
+    if t2.resolution != t.resolution:
+        raise ValueError("runs have different resolutions")
+    if (t2.schedule, t2.beta_start, t2.beta_end) != (
+            t.schedule, t.beta_start, t.beta_end):
+        raise ValueError(
+            f"runs have different beta schedules "
+            f"({t.schedule} {t.beta_start}..{t.beta_end} vs "
+            f"{t2.schedule} {t2.beta_start}..{t2.beta_end}); "
+            "cannot superpose")
+
+
 def make_eps_fn(model, params,
                 label: Optional[int] = None) -> Callable:
     """Build the sampler-facing eps function.

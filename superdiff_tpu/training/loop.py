@@ -213,6 +213,10 @@ def train(cfg: Config,
             all_losses.extend(epoch_losses)
             imgs_per_sec = len(epoch_losses) * B / max(dt, 1e-9)
 
+            if not epoch_losses:
+                raise RuntimeError(
+                    f"epoch {epoch + 1} yielded zero batches "
+                    "(empty dataset or steps_per_epoch=0?)")
             if (epoch + 1) % t.log_every == 0:
                 logger.info("epoch %d: avg_loss=%.4f (%.1f img/s)",
                             epoch + 1, avg, imgs_per_sec)

@@ -191,6 +191,28 @@ def test_superdiff_cli_two_runs(tmp_path):
     assert stack.shape == (2, 16, 16, 1)
 
 
+def test_superpose_compat_check():
+    """Schedule mismatch between runs must be rejected, not silently mixed
+    with run 1's sigmas (advisor finding)."""
+    import pytest
+    from superdiff_tpu.config import Config
+    from superdiff_tpu.inference import check_superpose_compat
+
+    a, b = Config(), Config()
+    check_superpose_compat(a, b)  # identical: fine
+    b.training.beta_end = 0.05
+    with pytest.raises(ValueError, match="beta schedules"):
+        check_superpose_compat(a, b)
+    b = Config()
+    b.training.schedule = "cosine"
+    with pytest.raises(ValueError, match="beta schedules"):
+        check_superpose_compat(a, b)
+    b = Config()
+    b.training.num_timesteps = 123
+    with pytest.raises(ValueError, match="different T"):
+        check_superpose_compat(a, b)
+
+
 def test_train_cli_parser():
     from superdiff_tpu.cli.train import build_parser
     args = build_parser().parse_args(

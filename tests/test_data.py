@@ -199,3 +199,23 @@ def test_datamodule(tree, rng):
     v2 = [np.asarray(b["image"]) for b in dm.device_batches("val", rng)]
     for a, b in zip(v1, v2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_datamodule_reshuffles_each_epoch(tree):
+    """iterator() must return ONE cached iterator per split so the internal
+    epoch counter advances — a fresh instance per epoch would replay the
+    identical shuffle order every epoch (round-1 advisor finding)."""
+    cfg = Config()
+    cfg.task = "PNEUMONIA"
+    cfg.training.batch_size = 4
+    cfg.training.resolution = 16
+    dm = DataModule(cfg, tree)
+    assert dm.iterator("train") is dm.iterator("train")
+
+    def epoch_labels():
+        return np.concatenate(
+            [b["label"] for b in dm.iterator("train")])
+
+    e0, e1, e2 = epoch_labels(), epoch_labels(), epoch_labels()
+    assert not (np.array_equal(e0, e1) and np.array_equal(e1, e2)), \
+        "train shuffle order identical across epochs"

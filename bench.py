@@ -105,18 +105,57 @@ def get_baseline() -> float:
     return val
 
 
-def measure_ours() -> float:
+# Peak dense bf16 matmul throughput per chip, FLOP/s (public spec sheets);
+# the MFU denominator. Matched by substring of jax device_kind.
+PEAK_FLOPS = {
+    "v5 lite": 197e12,   # v5e
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v4": 275e12,
+    "v6": 918e12,        # trillium
+}
+
+
+def peak_flops_per_chip(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, val in PEAK_FLOPS.items():
+        if key in kind:
+            return val
+    return 0.0  # unknown (e.g. CPU) -> MFU reported as 0
+
+
+def denoiser_flops(model, params, x, t0, y) -> float:
+    """FLOPs of ONE denoiser forward at the bench batch, from XLA's own HLO
+    cost analysis of the lowered computation (no remote compile needed);
+    falls back to 0 when the backend can't report."""
+    import jax
+
+    try:
+        lowered = jax.jit(
+            lambda xx, tt, yy: model.apply(params, xx, tt, yy)
+        ).lower(x, t0, y)
+        cost = lowered.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception as e:  # pragma: no cover - backend capability
+        log(f"cost_analysis unavailable: {e}")
+        return 0.0
+
+
+def measure_ours(preset: str = PRESET, res: int = RES,
+                 batch: int = BATCH) -> dict:
     import jax
     import jax.numpy as jnp
     from superdiff_tpu.diffusion import make_schedule, ddpm_sample
     from superdiff_tpu.models.presets import build_model
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
-    model = build_model(PRESET, num_classes=2)
-    shape = (BATCH, RES, RES, 1)
+    model = build_model(preset, num_classes=2)
+    shape = (batch, res, res, 1)
     x = jnp.zeros(shape, dtype=jnp.float32)
-    t0 = jnp.zeros((BATCH,), dtype=jnp.int32)
-    y = jnp.zeros((BATCH,), dtype=jnp.int32)
+    t0 = jnp.zeros((batch,), dtype=jnp.int32)
+    y = jnp.zeros((batch,), dtype=jnp.int32)
 
     from superdiff_tpu.utils.env import host_init
 
@@ -140,19 +179,42 @@ def measure_ours() -> float:
     out.block_until_ready()
     dt = time.time() - tic
     assert bool(jnp.isfinite(out).all()), "non-finite samples"
-    sps = BATCH / dt
-    log(f"steady: {dt:.1f}s for {BATCH} samples -> {sps:.3f} samples/sec")
-    return sps
+    sps = batch / dt
+    ms_step = dt / T * 1e3
+
+    flops_step = denoiser_flops(model, params, x, t0, y)
+    achieved = flops_step * T / dt          # FLOP/s over the whole scan
+    peak = peak_flops_per_chip(jax.devices()[0])
+    mfu = achieved / peak if peak else 0.0
+    log(f"steady: {dt:.1f}s for {batch} samples -> {sps:.3f} samples/sec")
+    log(f"denoiser: {flops_step/1e12:.3f} TFLOP/step (batch {batch}), "
+        f"{ms_step:.2f} ms/step, {achieved/1e12:.1f} TFLOP/s achieved, "
+        f"MFU {mfu*100:.1f}% (peak {peak/1e12:.0f} TF bf16)")
+    return {"samples_per_sec": sps, "ms_per_step": ms_step,
+            "tflops_per_sec": achieved / 1e12, "mfu": mfu,
+            "flops_per_step": flops_step}
 
 
 def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default=PRESET)
+    p.add_argument("--res", type=int, default=RES)
+    p.add_argument("--batch", type=int, default=BATCH)
+    args = p.parse_args()
+
     baseline = get_baseline()
-    ours = measure_ours()
+    ours = measure_ours(args.preset, args.res, args.batch)
     print(json.dumps({
-        "metric": "256x256 DDPM-1000 sampling throughput",
-        "value": round(ours, 4),
+        "metric": f"{args.res}x{args.res} DDPM-1000 sampling throughput",
+        "value": round(ours["samples_per_sec"], 4),
         "unit": "samples/sec/chip",
-        "vs_baseline": round(ours / baseline, 1),
+        "vs_baseline": round(ours["samples_per_sec"] / baseline, 1),
+        "ms_per_step": round(ours["ms_per_step"], 2),
+        "tflops_per_sec": round(ours["tflops_per_sec"], 1),
+        "mfu": round(ours["mfu"], 4),
+        "preset": args.preset,
     }))
 
 

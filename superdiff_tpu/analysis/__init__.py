@@ -9,10 +9,13 @@ from superdiff_tpu.analysis.projection import (
     compare_tsne_umap_thumbnails, run_projection_3d)
 from superdiff_tpu.analysis.gradcam import compute_gradcam, run_gradcam
 from superdiff_tpu.analysis.fid import frechet_distance, compute_fid
+from superdiff_tpu.analysis.plotly3d import (
+    run_plotly_projection_3d_with_thumbnails, thumbnail_data_uri)
 
 __all__ = [
     "FeatureExtractor", "extract_features", "run_projection",
     "run_projection_with_thumbnails", "compare_tsne_umap_thumbnails",
     "run_projection_3d", "compute_gradcam", "run_gradcam",
     "frechet_distance", "compute_fid",
+    "run_plotly_projection_3d_with_thumbnails", "thumbnail_data_uri",
 ]

@@ -12,7 +12,11 @@ egress, so the rebuilt interface is backend-pluggable:
   Grad-CAM target, mirroring the reference's classifier-based CAM);
 - ``"random"`` — fixed-seed random-projection CNN (no weights needed; the
   classic random-features baseline for t-SNE/UMAP sanity views);
-- ``"torch"`` — optional escape hatch for local torch checkpoints, gated.
+- ``"resnet18"`` — a locally saved torchvision-style ResNet18 checkpoint
+  run as pure JAX on the accelerator (``analysis/resnet.py``), enabling
+  standard-FID the moment weights are available (no egress needed at
+  runtime);
+- ``"torch"`` — optional escape hatch for arbitrary local torch callables.
 
 All extractors expose ``extract(images_nhwc) -> (B, D) float32`` and batch
 through one jitted apply (``extract_features`` handles batching/limits as
@@ -64,9 +68,20 @@ class FeatureExtractor:
     def __init__(self, kind: str = "random",
                  params=None, model=None,
                  schedule=None, timestep: int = 100,
-                 seed: int = 0, feature_dim: int = 256):
+                 seed: int = 0, feature_dim: int = 256,
+                 checkpoint: Optional[str] = None):
         self.kind = kind
-        if kind == "random":
+        if kind == "resnet18":
+            from superdiff_tpu.analysis.resnet import load_torch_resnet18
+
+            if params is None:
+                if checkpoint is None:
+                    raise ValueError(
+                        "resnet18 backend needs checkpoint= (path to a "
+                        "torchvision state_dict) or params= (converted)")
+                params = load_torch_resnet18(checkpoint)
+            self._params = params
+        elif kind == "random":
             self._model = SmallCNN(num_classes=feature_dim)
             self._params = None  # lazily init per input shape
             self._seed = seed
@@ -89,7 +104,12 @@ class FeatureExtractor:
         self._jitted: Optional[Callable] = None
 
     def _build_fn(self, sample: jnp.ndarray) -> Callable:
-        if self.kind == "random":
+        if self.kind == "resnet18":
+            from superdiff_tpu.analysis.resnet import resnet18_features
+
+            def fn(x):
+                return resnet18_features(self._params, x)
+        elif self.kind == "random":
             if self._params is None:
                 self._params = self._model.init(
                     jax.random.PRNGKey(self._seed), sample)

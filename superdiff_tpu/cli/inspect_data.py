@@ -127,13 +127,21 @@ def main(argv=None) -> int:
             print("wrote tsne_vs_umap.png")
         if (cfg.viz.projection_3d or cfg.viz.projection_3d_thumbnails
                 or cfg.viz.projection_3d_plotly):
-            html = (os.path.join(args.out, "projection3d.html")
-                    if cfg.viz.projection_3d_plotly else None)
             run_projection_3d(feats, flabels, "tsne",
                               os.path.join(args.out, "projection3d.png"),
-                              class_names=idx.classes,
-                              interactive_html=html)
+                              class_names=idx.classes)
             print("wrote projection3d.png")
+        if cfg.viz.projection_3d_plotly:
+            from superdiff_tpu.analysis import (
+                run_plotly_projection_3d_with_thumbnails)
+            try:
+                run_plotly_projection_3d_with_thumbnails(
+                    feats, flabels, images[:len(feats)],
+                    os.path.join(args.out, "projection3d.html"),
+                    class_names=idx.classes)
+                print("wrote projection3d.html")
+            except ImportError as e:
+                print(f"skipped plotly HTML: {e}")
 
     if cfg.viz.gradcam:
         model, params, metrics = train_classifier(batches, num_steps=150)

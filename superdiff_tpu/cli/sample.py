@@ -61,7 +61,8 @@ def main(argv=None) -> int:
     from superdiff_tpu.diffusion import ddpm_sample, ddim_sample
     from superdiff_tpu.diffusion.superdiff import superdiff_sample
     from superdiff_tpu.inference import (check_superpose_compat, load_run,
-                                         make_eps_fn)
+                                         make_eps_fn, make_stacked_eps_fn,
+                                         same_architecture)
     from superdiff_tpu.utils.visualization import save_image_grid
 
     mesh = None
@@ -95,11 +96,16 @@ def main(argv=None) -> int:
     if superpose:
         cfg2, model2, schedule2, ema2 = load_run(args.run_dir2)
         check_superpose_compat(cfg, cfg2)
-        fns = [make_eps_fn(model, ema, args.label),
-               make_eps_fn(model2, ema2, args.label)]
+        if same_architecture(cfg, cfg2):
+            # fused path: one vmapped call over the stacked param pytrees
+            fns = make_stacked_eps_fn(model, [ema, ema2], args.label)
+        else:
+            fns = [make_eps_fn(model, ema, args.label),
+                   make_eps_fn(model2, ema2, args.label)]
         sample_fn = compile_sampler(lambda r: superdiff_sample(
             schedule, fns, shape, r, mode=args.mode,
-            kappa=list(args.kappa), temperature=args.temperature),
+            kappa=list(args.kappa), temperature=args.temperature,
+            num_models=2),
             with_logq=True)
     else:
         if cfg.model.conditional and args.label is not None:

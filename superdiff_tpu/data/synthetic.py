@@ -9,6 +9,8 @@ signal to learn, without shipping medical data.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 
@@ -16,16 +18,26 @@ def synthetic_xray_batch(batch_size: int,
                          resolution: int = 64,
                          num_classes: int = 2,
                          seed: int = 0,
-                         normalization: str = "tanh"):
+                         normalization: str = "tanh",
+                         labels: Optional[np.ndarray] = None):
     """Return ``(images, labels)``: images ``(B, R, R, 1)`` float32 in
     [-1, 1] (``tanh`` norm) or [0, 1] (``minmax``), labels ``(B,)`` int32.
+
+    ``labels`` forces the per-image class/style index (values in
+    ``[0, num_classes)``); default draws them uniformly. The dataset-tree
+    generator uses forced labels to give each disease folder a distinct
+    visual signature.
     """
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:resolution, 0:resolution].astype(np.float32)
     yy = (yy - resolution / 2) / (resolution / 2)
     xx = (xx - resolution / 2) / (resolution / 2)
 
-    labels = rng.integers(0, max(num_classes, 1), size=batch_size)
+    if labels is None:
+        labels = rng.integers(0, max(num_classes, 1), size=batch_size)
+    else:
+        labels = np.asarray(labels)
+        assert labels.shape == (batch_size,)
     images = np.empty((batch_size, resolution, resolution, 1),
                       dtype=np.float32)
     for i in range(batch_size):

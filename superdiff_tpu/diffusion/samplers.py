@@ -52,6 +52,36 @@ def _guided_eps(model_fn: ModelFn,
     return eps_u + guidance_scale * (eps_c - eps_u)
 
 
+def make_frame_recorder(total_steps: int, num_frames: int):
+    """Constant-memory trajectory recording inside a sampler scan.
+
+    Returns ``(init_buffer_fn, record_fn)``; ``record_fn(buf, x, pos)``
+    writes ``x`` into the ``(num_frames, ...)`` buffer at ``num_frames``
+    evenly spaced scan positions, always including the final step — the
+    reverse-trajectory strip the reference mislabels
+    (``src/utils/visualization.py:6-15``). O(num_frames) memory instead of
+    materializing every step's state (T x B x H x W stacking is GBs at
+    256²/T=1000).
+    """
+    every = max(1, total_steps // num_frames)
+
+    def init(shape, dtype):
+        return jnp.zeros((num_frames,) + tuple(shape), dtype=dtype)
+
+    def record(buf, x, pos):
+        remaining = (total_steps - 1) - pos
+        idx = (num_frames - 1) - remaining // every
+        do = jnp.logical_and(remaining % every == 0, idx >= 0)
+        return jax.lax.cond(
+            do,
+            lambda b: jax.lax.dynamic_update_index_in_dim(
+                b, x, jnp.maximum(idx, 0), 0),
+            lambda b: b,
+            buf)
+
+    return init, record
+
+
 def ddpm_step(schedule: DiffusionSchedule,
               x: jnp.ndarray,
               t: jnp.ndarray,
@@ -91,28 +121,32 @@ def ddpm_sample(schedule: DiffusionSchedule,
     rng, init_rng = jax.random.split(rng)
     x_init = jax.random.normal(init_rng, shape, dtype=dtype)
 
-    record = num_frames > 0
-    frame_every = max(1, T // num_frames) if record else T
+    recording = num_frames > 0
+    if recording:
+        init_buf, record = make_frame_recorder(T, num_frames)
+        frames0 = init_buf(shape, dtype)
+    else:
+        frames0 = jnp.zeros((0,))
 
-    def step(carry, t_scalar):
-        x, key = carry
+    def step(carry, scan_in):
+        x, key, frames = carry
+        pos, t_scalar = scan_in
         key, nkey = jax.random.split(key)
         t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
         eps_hat = _guided_eps(model_fn, x, t, y, guidance_scale, null_label)
         noise = jax.random.normal(nkey, shape, dtype=dtype)
         x_next = ddpm_step(schedule, x, t, eps_hat, noise)
-        out = None
-        if record:
-            out = jnp.where(t_scalar % frame_every == 0, 1, 0), x_next
-        return (x_next, key), out
+        if recording:
+            frames = record(frames, x_next, pos)
+        return (x_next, key, frames), None
 
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
-    (x_final, _), outs = jax.lax.scan(step, (x_init, rng), ts)
-    if not record:
+    pos = jnp.arange(T, dtype=jnp.int32)
+    (x_final, _, frames), _ = jax.lax.scan(
+        step, (x_init, rng, frames0), (pos, ts))
+    if not recording:
         return x_final
-    flags, frames = outs
-    idx = jnp.nonzero(flags, size=num_frames, fill_value=T - 1)[0]
-    return x_final, frames[idx]
+    return x_final, frames
 
 
 def ddim_timesteps(T: int, num_steps: int) -> np.ndarray:
@@ -134,6 +168,7 @@ def ddim_sample(schedule: DiffusionSchedule,
                 guidance_scale: float = 1.0,
                 null_label: int = 0,
                 clip_x0: bool = True,
+                num_frames: int = 0,
                 dtype=jnp.float32) -> jnp.ndarray:
     """DDIM sampling (arXiv:2010.02502 eq. 12) over ``num_steps`` steps.
 
@@ -144,6 +179,10 @@ def ddim_sample(schedule: DiffusionSchedule,
     ``clip_x0`` clamps the predicted clean image to [-1, 1] each step
     (standard "clip_denoised"); data is normalized into that range by the
     pipeline, and clipping keeps early large-t extrapolations bounded.
+
+    ``num_frames > 0`` additionally returns evenly spaced intermediate
+    states (same contract as :func:`ddpm_sample`) so reverse strips and
+    compare panels work on the fast sampling path too.
     """
     ts_np = ddim_timesteps(schedule.num_timesteps, num_steps)
     ts = jnp.asarray(ts_np, dtype=jnp.int32)
@@ -155,9 +194,16 @@ def ddim_sample(schedule: DiffusionSchedule,
     rng, init_rng = jax.random.split(rng)
     x_init = jax.random.normal(init_rng, shape, dtype=dtype)
 
+    recording = num_frames > 0
+    if recording:
+        init_buf, record = make_frame_recorder(len(ts_np), num_frames)
+        frames0 = init_buf(shape, dtype)
+    else:
+        frames0 = jnp.zeros((0,))
+
     def step(carry, scan_in):
-        x, key = carry
-        t_scalar, ab_next = scan_in
+        x, key, frames = carry
+        pos, t_scalar, ab_next = scan_in
         key, nkey = jax.random.split(key)
         t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
         eps_hat = _guided_eps(model_fn, x, t, y, guidance_scale, null_label)
@@ -178,7 +224,13 @@ def ddim_sample(schedule: DiffusionSchedule,
         noise = jnp.where(ab_next >= 1.0, 0.0, noise)
         x_next = (jnp.sqrt(ab_next) * x0_pred + dir_coef * eps_hat
                   + sigma * noise)
-        return (x_next, key), None
+        if recording:
+            frames = record(frames, x_next, pos)
+        return (x_next, key, frames), None
 
-    (x_final, _), _ = jax.lax.scan(step, (x_init, rng), (ts, ab_next_seq))
-    return x_final
+    pos = jnp.arange(len(ts_np), dtype=jnp.int32)
+    (x_final, _, frames), _ = jax.lax.scan(
+        step, (x_init, rng, frames0), (pos, ts, ab_next_seq))
+    if not recording:
+        return x_final
+    return x_final, frames

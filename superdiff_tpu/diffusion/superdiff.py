@@ -39,8 +39,30 @@ import jax.numpy as jnp
 
 from superdiff_tpu.diffusion.schedules import DiffusionSchedule
 from superdiff_tpu.diffusion.process import _bcast_to
+from superdiff_tpu.diffusion.samplers import make_frame_recorder
 
 MIX_MODES = ("or", "and", "fixed")
+
+
+def stack_eps_fns(apply_fn: Callable, params_list: Sequence) -> Callable:
+    """Fuse M same-architecture eps models into ONE batched call.
+
+    Stacks the M parameter pytrees on a leading axis and vmaps the apply
+    function over it, so each sampler step issues a single XLA computation
+    with an M-major batch instead of M sequential model dispatches — the
+    multi-model analogue of the CFG 2B-stacked call
+    (:func:`~superdiff_tpu.diffusion.samplers._guided_eps`). Returns
+    ``fn(x, t) -> (M, B, ...)`` suitable for
+    ``superdiff_sample(..., model_fns=fn, num_models=M)``.
+    """
+    stacked = jax.tree_util.tree_map(
+        lambda *ps: jnp.stack(ps), *params_list)
+
+    def fn(x, t):
+        return jax.vmap(lambda p: apply_fn(p, x, t),
+                        in_axes=0, out_axes=0)(stacked)
+
+    return fn
 
 
 def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -112,29 +134,47 @@ def _mix_kappa_and(schedule: DiffusionSchedule,
 
 def superdiff_sample(
         schedule: DiffusionSchedule,
-        model_fns: Sequence[Callable],
+        model_fns,
         shape: Tuple[int, ...],
         rng: jax.Array,
         mode: str = "or",
         kappa: Optional[Sequence[float]] = None,
         temperature: float = 1.0,
         bias: Optional[Sequence[float]] = None,
+        num_models: Optional[int] = None,
+        num_frames: int = 0,
         dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Superposed DDPM ancestral sampling across ``len(model_fns)`` models.
+    """Superposed DDPM ancestral sampling across M models.
 
-    Each ``model_fns[i]`` maps ``(x, t) -> eps_i`` (epsilon prediction; bind
-    labels/params with closures). Returns ``(samples, logq)`` where ``logq``
+    ``model_fns`` is either a sequence of per-model functions
+    ``(x, t) -> eps_i`` (bind labels/params with closures), or — the fast
+    path for same-architecture models — ONE stacked function
+    ``(x, t) -> (M, B, ...)`` built by :func:`stack_eps_fns` (pass
+    ``num_models=M`` then). Returns ``(samples, logq)`` where ``logq``
     is ``(M, B)`` — the Itô estimate of each model's log-density at the
     final sample (up to the shared Gaussian-prior constant at t=T, which is
-    included).
+    included) — plus a ``(num_frames, B, ...)`` trajectory stack when
+    ``num_frames > 0``.
 
-    The whole loop — M model calls, density accumulation, mixing — is one
+    The whole loop — model calls, density accumulation, mixing — is one
     ``lax.scan``; with data-parallel sharding the batch dim shards and XLA
     reduces nothing across devices (densities are per-sample).
     """
     if mode not in MIX_MODES:
         raise ValueError(f"unknown mode {mode!r} (have {MIX_MODES})")
-    M = len(model_fns)
+    stacked_call = callable(model_fns)
+    if stacked_call:
+        if not num_models:
+            raise ValueError("num_models is required with a stacked "
+                             "model_fns callable")
+        M = num_models
+        eps_fn = model_fns
+    else:
+        M = len(model_fns)
+
+        def eps_fn(x, t):
+            return jnp.stack([fn(x, t) for fn in model_fns], axis=0)
+
     if M < 2:
         raise ValueError("superposition needs >= 2 models")
     if mode == "and" and M != 2:
@@ -158,12 +198,20 @@ def superdiff_sample(
              - 0.5 * d * math.log(2.0 * math.pi))
     logq_init = jnp.tile(logq0[None, :], (M, 1))               # (M, B)
 
-    def step(carry, t_scalar):
-        x, key, logq = carry
+    recording = num_frames > 0
+    if recording:
+        init_buf, record = make_frame_recorder(T, num_frames)
+        frames0 = init_buf(shape, dtype)
+    else:
+        frames0 = jnp.zeros((0,))
+
+    def step(carry, scan_in):
+        x, key, logq, frames = carry
+        pos, t_scalar = scan_in
         key, nkey = jax.random.split(key)
         t = jnp.full((B,), t_scalar, dtype=jnp.int32)
 
-        eps = jnp.stack([fn(x, t) for fn in model_fns], axis=0)  # (M,B,...)
+        eps = eps_fn(x, t)                                      # (M,B,...)
         sigma_t = schedule.sqrt_one_minus_alpha_bars[t_scalar]
         scores = -eps / sigma_t
 
@@ -193,9 +241,15 @@ def superdiff_sample(
         s_mix = jnp.sum(kap_b * scores, axis=0)
         dx = dx_base_nos + sqrt_recip_alpha * beta * s_mix
         logq = logq + ito_logdensity_step(schedule, t_scalar, x, scores, dx)
-        return (x + dx, key, logq), None
+        x_next = x + dx
+        if recording:
+            frames = record(frames, x_next, pos)
+        return (x_next, key, logq, frames), None
 
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
-    (x_final, _, logq_final), _ = jax.lax.scan(
-        step, (x_init, rng, logq_init), ts)
-    return x_final, logq_final
+    pos = jnp.arange(T, dtype=jnp.int32)
+    (x_final, _, logq_final, frames), _ = jax.lax.scan(
+        step, (x_init, rng, logq_init, frames0), (pos, ts))
+    if not recording:
+        return x_final, logq_final
+    return x_final, logq_final, frames

@@ -67,6 +67,34 @@ def check_superpose_compat(cfg: Config, cfg2: Config) -> None:
             "cannot superpose")
 
 
+def make_stacked_eps_fn(model, params_list, label=None) -> Callable:
+    """One fused ``(x, t) -> (M, B, ...)`` eps call over M checkpoints of
+    the SAME architecture (see
+    :func:`superdiff_tpu.diffusion.superdiff.stack_eps_fns`). ``label``
+    follows :func:`make_eps_fn` semantics (None -> null/unconditional)."""
+    from superdiff_tpu.diffusion.superdiff import stack_eps_fns
+
+    conditional = getattr(model, "num_classes", 0) > 0
+    if not conditional:
+        return stack_eps_fns(
+            lambda p, x, t: model.apply(p, x, t), params_list)
+    fixed = model.null_label if label is None else int(label)
+
+    def apply_fn(p, x, t):
+        y = jnp.full((x.shape[0],), fixed, dtype=jnp.int32)
+        return model.apply(p, x, t, y)
+
+    return stack_eps_fns(apply_fn, params_list)
+
+
+def same_architecture(cfg: Config, cfg2: Config) -> bool:
+    """True when two run configs build identical model graphs (so their
+    parameter pytrees can be stacked for the fused superposition call)."""
+    import dataclasses
+
+    return dataclasses.asdict(cfg.model) == dataclasses.asdict(cfg2.model)
+
+
 def make_eps_fn(model, params,
                 label: Optional[int] = None) -> Callable:
     """Build the sampler-facing eps function.

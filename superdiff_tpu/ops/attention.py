@@ -38,6 +38,15 @@ def _xla_attention(q: jnp.ndarray, k: jnp.ndarray,
     return out.astype(q.dtype)
 
 
+def _flash_min_s() -> int:
+    """Minimum sequence length for the Pallas kernel (overridable for A/B
+    measurement via SUPERDIFF_TPU_FLASH_MIN_S). Default 256: measured
+    end-to-end on v5e, the flash kernel matches XLA at S=256 and wins above
+    (A/B table in BASELINE.md), so the flagship presets' 16² attention
+    (S=256) runs through it."""
+    return int(os.environ.get("SUPERDIFF_TPU_FLASH_MIN_S", "256"))
+
+
 def _use_pallas(q: jnp.ndarray) -> bool:
     if os.environ.get("SUPERDIFF_TPU_DISABLE_PALLAS"):
         return False
@@ -45,7 +54,7 @@ def _use_pallas(q: jnp.ndarray) -> bool:
         return False
     B, S, H, D = q.shape
     # Kernel tiling: sequence and head-dim must map onto (128, 128) tiles.
-    return S >= 1024 and S % 128 == 0 and D in (32, 64, 128)
+    return S >= _flash_min_s() and S % 128 == 0 and D in (32, 64, 128)
 
 
 def multihead_attention(q: jnp.ndarray, k: jnp.ndarray,

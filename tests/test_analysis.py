@@ -176,3 +176,163 @@ def test_compute_fid_separates_real_vs_noise():
     fid_real = compute_fid(ex, real_a, real_b, max_samples=16)
     fid_noise = compute_fid(ex, real_a, noise, max_samples=16)
     assert fid_real < fid_noise
+
+
+# ----------------------------------------------------- resnet18 backend ---
+
+def _fake_torchvision_resnet18_state_dict(seed=0):
+    """Random-valued state dict with torchvision resnet18's exact key names
+    and shapes (what a user's locally saved checkpoint looks like)."""
+    rng = np.random.default_rng(seed)
+
+    def conv(cout, cin, k):
+        return (rng.standard_normal((cout, cin, k, k)) * 0.05
+                ).astype(np.float32)
+
+    def bn(sd, prefix, c):
+        sd[f"{prefix}.weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[f"{prefix}.bias"] = (rng.standard_normal(c) * 0.1
+                                ).astype(np.float32)
+        sd[f"{prefix}.running_mean"] = (rng.standard_normal(c) * 0.1
+                                        ).astype(np.float32)
+        sd[f"{prefix}.running_var"] = rng.uniform(0.5, 1.5, c
+                                                  ).astype(np.float32)
+
+    sd = {"conv1.weight": conv(64, 3, 7)}
+    bn(sd, "bn1", 64)
+    spec = [("layer1", 64, 64, False), ("layer2", 128, 64, True),
+            ("layer3", 256, 128, True), ("layer4", 512, 256, True)]
+    for name, c, cin, down in spec:
+        for b in range(2):
+            ci = cin if b == 0 else c
+            sd[f"{name}.{b}.conv1.weight"] = conv(c, ci, 3)
+            bn(sd, f"{name}.{b}.bn1", c)
+            sd[f"{name}.{b}.conv2.weight"] = conv(c, c, 3)
+            bn(sd, f"{name}.{b}.bn2", c)
+            if down and b == 0:
+                sd[f"{name}.{b}.downsample.0.weight"] = conv(c, ci, 1)
+                bn(sd, f"{name}.{b}.downsample.1", c)
+    sd["fc.weight"] = conv(1000, 512, 1)[:, :, 0, 0]
+    sd["fc.bias"] = np.zeros(1000, np.float32)
+    return sd
+
+
+def _torch_resnet18_features(sd, x_nhwc):
+    """Independent torch re-implementation of the torchvision resnet18
+    forward (inference BN), as the parity oracle for the JAX path."""
+    import torch
+    import torch.nn.functional as F
+
+    t = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    x = torch.from_numpy(np.asarray(x_nhwc)).permute(0, 3, 1, 2)
+    x = x.repeat(1, 3, 1, 1)  # grayscale -> RGB (sum-kernel equivalence)
+
+    def bn(h, p):
+        return F.batch_norm(h, t[f"{p}.running_mean"],
+                            t[f"{p}.running_var"], t[f"{p}.weight"],
+                            t[f"{p}.bias"], training=False)
+
+    with torch.no_grad():
+        h = F.relu(bn(F.conv2d(x, t["conv1.weight"], stride=2, padding=3),
+                      "bn1"))
+        h = F.max_pool2d(h, 3, stride=2, padding=1)
+        for name, stride in (("layer1", 1), ("layer2", 2),
+                             ("layer3", 2), ("layer4", 2)):
+            for b in range(2):
+                s = stride if b == 0 else 1
+                idn = h
+                o = F.relu(bn(F.conv2d(h, t[f"{name}.{b}.conv1.weight"],
+                                       stride=s, padding=1),
+                              f"{name}.{b}.bn1"))
+                o = bn(F.conv2d(o, t[f"{name}.{b}.conv2.weight"],
+                                padding=1), f"{name}.{b}.bn2")
+                if f"{name}.{b}.downsample.0.weight" in t:
+                    idn = bn(F.conv2d(h,
+                                      t[f"{name}.{b}.downsample.0.weight"],
+                                      stride=s), f"{name}.{b}.downsample.1")
+                h = F.relu(o + idn)
+        return h.mean(dim=(2, 3)).numpy()
+
+
+def test_resnet18_matches_torch_oracle():
+    """Converter + pure-JAX forward must reproduce the torch graph from the
+    same torchvision-format state dict (1-ch surgery == RGB replication)."""
+    from superdiff_tpu.analysis.resnet import (convert_torch_resnet18,
+                                               resnet18_features)
+
+    sd = _fake_torchvision_resnet18_state_dict()
+    x = np.random.default_rng(1).standard_normal(
+        (2, 64, 64, 1)).astype(np.float32)
+    ours = np.asarray(resnet18_features(convert_torch_resnet18(sd),
+                                        jnp.asarray(x)))
+    oracle = _torch_resnet18_features(sd, x)
+    assert ours.shape == (2, 512)
+    np.testing.assert_allclose(ours, oracle, rtol=2e-3, atol=2e-3)
+
+
+def test_resnet18_extractor_from_saved_checkpoint(tmp_path):
+    """End-to-end: torch.save a state dict -> FeatureExtractor('resnet18',
+    checkpoint=path) -> finite (B, 512) features."""
+    import torch
+
+    sd = _fake_torchvision_resnet18_state_dict(seed=3)
+    path = str(tmp_path / "resnet18.pt")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               path)
+    ex = FeatureExtractor("resnet18", checkpoint=path)
+    imgs, _ = synthetic_xray_batch(4, 64)
+    feats = ex.extract(imgs)
+    assert feats.shape == (4, 512)
+    assert np.isfinite(feats).all()
+
+
+def test_resnet18_rejects_wrong_checkpoint():
+    from superdiff_tpu.analysis.resnet import convert_torch_resnet18
+
+    with pytest.raises(KeyError, match="conv1.weight"):
+        convert_torch_resnet18({"not_a_resnet": np.zeros(3)})
+
+
+# ------------------------------------------------------- plotly 3D HTML ---
+
+def test_thumbnail_data_uri_roundtrip():
+    """The base64 helper must encode any input range into a decodable PNG
+    data URI of the requested size."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    from superdiff_tpu.analysis import thumbnail_data_uri
+
+    img = np.random.default_rng(0).uniform(-1, 1, (40, 30, 1))
+    uri = thumbnail_data_uri(img, size=32)
+    assert uri.startswith("data:image/png;base64,")
+    raw = base64.b64decode(uri.split(",", 1)[1])
+    decoded = Image.open(io.BytesIO(raw))
+    assert decoded.size == (32, 32)
+    arr = np.asarray(decoded)
+    assert arr.min() < 64 and arr.max() > 192  # full-range normalization
+
+
+def test_plotly3d_gated_or_writes_html(tmp_path):
+    from superdiff_tpu.analysis import (
+        run_plotly_projection_3d_with_thumbnails)
+    from superdiff_tpu.analysis.plotly3d import hover_html
+
+    imgs, labels = synthetic_xray_batch(12, 16)
+    feats = np.asarray(imgs).reshape(12, -1)
+    h = hover_html("TB", imgs[0])
+    assert h.startswith("TB<br><img src=\"data:image/png;base64,")
+    try:
+        import plotly  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="plotly"):
+            run_plotly_projection_3d_with_thumbnails(
+                feats, labels, imgs, str(tmp_path / "p.html"), method="pca")
+        return
+    out = run_plotly_projection_3d_with_thumbnails(
+        feats, labels, imgs, str(tmp_path / "p.html"), method="pca")
+    text = open(out).read()
+    assert "data:image/png;base64," in text and "Scatter3d" in text.replace(
+        "scatter3d", "Scatter3d")

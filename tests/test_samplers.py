@@ -166,3 +166,16 @@ def test_shard_sample_superdiff_logq(schedule, rng, devices8):
 
 # (the --data-parallel CLI rejection path is covered end-to-end in
 # tests/test_checkpoint_loop.py::test_sample_cli_from_trained_run)
+
+
+def test_ddim_trajectory_frames(schedule, rng):
+    x = ddim_sample(schedule, linear_model, SHAPE, rng, num_steps=20)
+    x2, frames = ddim_sample(schedule, linear_model, SHAPE, rng,
+                             num_steps=20, num_frames=4)
+    assert frames.shape == (4,) + SHAPE
+    assert np.isfinite(np.asarray(frames)).all()
+    # recording must not perturb the trajectory; final frame == final state
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(frames[-1]), np.asarray(x2),
+                               rtol=1e-6, atol=1e-6)

@@ -132,3 +132,47 @@ def test_superdiff_jits(schedule, rng):
     x, logq = f(rng)
     assert np.isfinite(np.asarray(x)).all()
     assert np.isfinite(np.asarray(logq)).all()
+
+
+def test_stacked_call_matches_sequential(schedule, rng):
+    """stack_eps_fns + num_models must reproduce the per-model-closure path
+    bit-for-bit: same math, one vmapped dispatch instead of M."""
+    from superdiff_tpu.diffusion.superdiff import stack_eps_fns
+
+    def apply_fn(params, x, t):
+        mu = params["mu"]
+        ab = schedule.alpha_bars[t].reshape(-1, 1, 1, 1)
+        sigma = schedule.sqrt_one_minus_alpha_bars[t].reshape(-1, 1, 1, 1)
+        return sigma * (x - mu * jnp.sqrt(ab))
+
+    params = [{"mu": jnp.float32(0.5)}, {"mu": jnp.float32(-0.5)}]
+    stacked = stack_eps_fns(apply_fn, params)
+    fns = [lambda x, t: apply_fn(params[0], x, t),
+           lambda x, t: apply_fn(params[1], x, t)]
+    for mode, kw in (("or", {}), ("and", {}),
+                     ("fixed", {"kappa": [0.3, 0.7]})):
+        x_seq, lq_seq = superdiff_sample(schedule, fns, SHAPE, rng,
+                                         mode=mode, **kw)
+        x_stk, lq_stk = superdiff_sample(schedule, stacked, SHAPE, rng,
+                                         mode=mode, num_models=2, **kw)
+        np.testing.assert_allclose(np.asarray(x_stk), np.asarray(x_seq),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lq_stk), np.asarray(lq_seq),
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_stacked_call_requires_num_models(schedule, rng):
+    with pytest.raises(ValueError, match="num_models"):
+        superdiff_sample(schedule, lambda x, t: None, SHAPE, rng)
+
+
+def test_superdiff_trajectory_frames(schedule, rng):
+    m1 = gaussian_model(0.5, schedule)
+    m2 = gaussian_model(-0.5, schedule)
+    x, lq, frames = superdiff_sample(schedule, [m1, m2], SHAPE, rng,
+                                     num_frames=6)
+    assert frames.shape == (6,) + SHAPE
+    assert np.isfinite(np.asarray(frames)).all()
+    # final frame IS the final state
+    np.testing.assert_allclose(np.asarray(frames[-1]), np.asarray(x),
+                               rtol=1e-6, atol=1e-6)

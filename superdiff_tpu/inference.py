@@ -24,7 +24,9 @@ from superdiff_tpu.training.state import create_train_state, make_optimizer
 def load_run(run_dir: str, step: Optional[int] = None
              ) -> Tuple[Config, object, DiffusionSchedule, dict]:
     """Load ``(cfg, model, schedule, ema_params)`` from a training run dir
-    (the directory containing ``config.yaml`` and ``checkpoints/``)."""
+    (``config.yaml`` + ``checkpoints/``) or from an exported inference
+    artifact (``config.yaml`` + ``ema_params.npz``, see ``cli/export.py``).
+    """
     cfg_path = os.path.join(run_dir, "config.yaml")
     if not os.path.exists(cfg_path):
         raise FileNotFoundError(f"no config.yaml in {run_dir}")
@@ -33,6 +35,17 @@ def load_run(run_dir: str, step: Optional[int] = None
     schedule = make_schedule(t.num_timesteps, kind=t.schedule,
                              beta_start=t.beta_start, beta_end=t.beta_end)
     model = model_from_config(cfg)
+
+    export_path = os.path.join(run_dir, "ema_params.npz")
+    ckpt_dir = os.path.join(run_dir, cfg.paths.checkpoint_dir)
+    if os.path.exists(export_path) and not os.path.isdir(ckpt_dir):
+        from superdiff_tpu.cli.export import load_exported_params
+
+        ema = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, dtype=jnp.float32),
+            load_exported_params(export_path))
+        return cfg, model, schedule, ema
+
     B, R = 1, t.resolution
     x0 = jnp.zeros((B, R, R, 1))
     t0 = jnp.zeros((B,), dtype=jnp.int32)
@@ -40,7 +53,6 @@ def load_run(run_dir: str, step: Optional[int] = None
             if cfg.model.conditional else (x0, t0))
     state = create_train_state(model, jax.random.PRNGKey(0), args,
                                tx=make_optimizer())
-    ckpt_dir = os.path.join(run_dir, cfg.paths.checkpoint_dir)
     mngr = CheckpointManager(ckpt_dir)
     state = mngr.restore(state, step=step)
     return cfg, model, schedule, state.ema_params

@@ -191,6 +191,37 @@ def test_superdiff_cli_two_runs(tmp_path):
     assert stack.shape == (2, 16, 16, 1)
 
 
+def test_export_then_sample_from_artifact(tmp_path):
+    """Export CLI -> compact npz artifact -> load_run + sample CLI work on
+    it without any Orbax checkpoint present."""
+    cfg = _smoke_cfg(tmp_path, epochs=1)
+    train(cfg, use_synthetic=True)
+    run_dir = os.path.join(str(tmp_path), "outputs", "PNEUMONIA",
+                           "experiment_t_run_0")
+    from superdiff_tpu.cli.export import main as export_main
+    art = str(tmp_path / "artifact")
+    assert export_main(["--run-dir", run_dir, "--out", art]) == 0
+    assert os.path.exists(os.path.join(art, "ema_params.npz"))
+    assert os.path.exists(os.path.join(art, "config.yaml"))
+
+    # exported params match the checkpoint's EMA exactly (float32 export)
+    from superdiff_tpu.inference import load_run
+    _, _, _, ema_ckpt = load_run(run_dir)
+    _, _, _, ema_art = load_run(art)
+    for a, b in zip(jax.tree_util.tree_leaves(ema_ckpt),
+                    jax.tree_util.tree_leaves(ema_art)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    from superdiff_tpu.cli.sample import main as sample_main
+    out_dir = str(tmp_path / "art_samples")
+    rc = sample_main(["--run-dir", art, "--method", "ddim",
+                      "--num-steps", "5", "--batch-size", "2",
+                      "--out", out_dir])
+    assert rc == 0
+    stack = np.load(os.path.join(out_dir, "samples.npy"))
+    assert stack.shape == (2, 16, 16, 1) and np.isfinite(stack).all()
+
+
 def test_superpose_compat_check():
     """Schedule mismatch between runs must be rejected, not silently mixed
     with run 1's sigmas (advisor finding)."""

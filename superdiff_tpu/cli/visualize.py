@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="project real vs generated features")
     p.add_argument("--compare", action="store_true",
                    help="A vs B vs superposed panel (needs --run-dir2)")
+    p.add_argument("--dashboard", action="store_true",
+                   help="write a self-contained dashboard.html "
+                        "(needs --dataset-root)")
     return p
 
 
@@ -116,6 +119,18 @@ def main(argv=None) -> int:
                        os.path.join(out, "tsne_real_vs_gen.png"),
                        class_names=names)
         print("wrote tsne_real_vs_gen.png")
+
+    if args.dashboard:
+        if not args.dataset_root:
+            print("--dashboard needs --dataset-root", file=sys.stderr)
+            return 2
+        from superdiff_tpu.analysis.dashboard import build_static_dashboard
+
+        build_static_dashboard(
+            args.dataset_root, os.path.join(out, "dashboard.html"),
+            run_dir=args.run_dir, task=cfg.task,
+            histogram_equalization=cfg.training.histogram_equalization)
+        print("wrote dashboard.html")
 
     if args.compare:
         if not args.run_dir2:

@@ -28,11 +28,24 @@ MODEL_AXIS = "model"
 def maybe_init_distributed() -> None:
     """Initialize jax.distributed on multi-host slices (no-op otherwise).
 
-    Gated by env (set by TPU VM launchers); safe to call unconditionally at
-    CLI entry. Replaces nothing in the reference — it had no multi-host path
+    Gated by ``SUPERDIFF_TPU_MULTIHOST=1`` (set by TPU VM launchers); safe
+    to call unconditionally at CLI entry. On TPU pods
+    ``jax.distributed.initialize()`` auto-detects coordinator/process
+    topology from the TPU metadata; for other fabrics (or tests) the
+    explicit triple can be passed via ``SUPERDIFF_TPU_COORDINATOR``,
+    ``SUPERDIFF_TPU_NUM_PROCESSES`` and ``SUPERDIFF_TPU_PROCESS_ID``.
+    Replaces nothing in the reference — it had no multi-host path
     (``src/slurm/submit_experiment.slurm:2`` is a 1-GPU job).
     """
-    if os.environ.get("SUPERDIFF_TPU_MULTIHOST") == "1":
+    if os.environ.get("SUPERDIFF_TPU_MULTIHOST") != "1":
+        return
+    coord = os.environ.get("SUPERDIFF_TPU_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["SUPERDIFF_TPU_NUM_PROCESSES"]),
+            process_id=int(os.environ["SUPERDIFF_TPU_PROCESS_ID"]))
+    else:
         jax.distributed.initialize()
 
 

@@ -164,3 +164,30 @@ def test_init_logger_writes_file(tmp_path):
     log.info("second")
     content = open(os.path.join(str(tmp_path), "training.log")).read()
     assert content.count("second") == 1
+
+
+def test_static_dashboard(tree, trained_run, tmp_path):
+    """build_static_dashboard must render all three sections into one
+    self-contained HTML (no streamlit) with inlined base64 artifacts."""
+    from superdiff_tpu.analysis.dashboard import build_static_dashboard
+
+    out = str(tmp_path / "dash" / "dashboard.html")
+    path = build_static_dashboard(tree, out, run_dir=trained_run,
+                                  num_images=6, max_embed_samples=24)
+    text = open(path).read()
+    assert "Image grid" in text
+    assert "Embedding explorer" in text
+    assert "Explainability" in text
+    assert text.count("data:image/png;base64,") >= 7  # 6 thumbs + tsne
+    assert "loss_curve.png" in text  # run artifact embedded
+    assert not os.path.exists(out + ".tsne.png")  # temp cleaned up
+
+
+def test_dashboard_cli_flag(tree, trained_run, tmp_path):
+    from superdiff_tpu.cli.visualize import main
+
+    out = str(tmp_path / "dviz")
+    rc = main(["--run-dir", trained_run, "--out", out,
+               "--dataset-root", tree, "--dashboard"])
+    assert rc == 0
+    assert os.path.getsize(os.path.join(out, "dashboard.html")) > 0

@@ -63,14 +63,29 @@ def measure(tag: str, attn_resolutions, flash_min_s: int,
     return rec
 
 
-def main():
-    big = 1 << 30
+CONFIGS = {
     # flagship shape: attention at 16² only (S=256)
-    measure("eff256_s256_xla", (16,), flash_min_s=big)
-    measure("eff256_s256_flash", (16,), flash_min_s=256)
+    "eff256_s256_xla": ((16,), 1 << 30),
+    "eff256_s256_flash": ((16,), 256),
     # 32² attention variant (S=1024 at 128ch + S=256 at 16²)
-    measure("eff256a32_xla", (32, 16), flash_min_s=big)
-    measure("eff256a32_flash", (32, 16), flash_min_s=256)
+    "eff256a32_xla": ((32, 16), 1 << 30),
+    "eff256a32_flash": ((32, 16), 256),
+    # mixed: flash only where it wins (S=1024), XLA at S=256
+    "eff256a32_mixed": ((32, 16), 1024),
+}
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--only", nargs="*", default=None,
+                   help="subset of config tags to run")
+    args = p.parse_args()
+    for tag, (attn_res, min_s) in CONFIGS.items():
+        if args.only and tag not in args.only:
+            continue
+        measure(tag, attn_res, flash_min_s=min_s)
 
 
 if __name__ == "__main__":

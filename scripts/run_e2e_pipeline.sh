@@ -8,6 +8,8 @@
 # minutes of remote compile per distinct jitted shape.
 #
 # Usage: bash scripts/run_e2e_pipeline.sh [RES] [EPOCHS] [BASE_CH] [EXP_ID]
+# Env knobs: BATCH, PRESET, N_EVAL, EVAL_STEPS, EXTRA_SETS (extra --set
+# training overrides, space-separated) — tiny-scale CPU smoke vs real run.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -18,6 +20,11 @@ EXP="${4:-e2e}"
 ROOT="data/chest_xray"
 BATCH="${BATCH:-64}"
 PRESET="${PRESET:-}"
+N_EVAL="${N_EVAL:-128}"
+EVAL_BATCH="${EVAL_BATCH:-32}"
+SP_BATCH="${SP_BATCH:-16}"
+EVAL_STEPS="${EVAL_STEPS:-100}"
+EXTRA_SETS="${EXTRA_SETS:-}"
 
 if [ ! -d "$ROOT/TB/train" ]; then
     python scripts/make_synthetic_dataset.py --root "$ROOT" --resolution 256
@@ -32,6 +39,7 @@ COMMON=(--dataset-root "$ROOT"
         --set training.save_every=20
         --set training.keep_checkpoints=2)
 if [ -n "$PRESET" ]; then COMMON+=(--set "model.preset=$PRESET"); fi
+for S in $EXTRA_SETS; do COMMON+=(--set "$S"); done
 
 for TASK in TB PNEUMONIA; do
     RUN_ID="$(echo "${PRESET:-r}${RES}_${TASK}" | tr '[:upper:]' '[:lower:]')"
@@ -46,18 +54,18 @@ PN_RUN="data/outputs/PNEUMONIA/experiment_${EXP}_run_$(echo "${PRESET:-r}${RES}_
 echo "=== evaluating TB (FID + superposed log-densities vs PNEUMONIA) ==="
 python -m superdiff_tpu.cli.evaluate --run-dir "$TB_RUN" \
     --run-dir2 "$PN_RUN" --dataset-root "$ROOT" \
-    --num-samples 128 --batch-size 32 --method ddim --num-steps 100
+    --num-samples "$N_EVAL" --batch-size "$EVAL_BATCH" --method ddim --num-steps "$EVAL_STEPS"
 
 echo "=== evaluating PNEUMONIA ==="
 python -m superdiff_tpu.cli.evaluate --run-dir "$PN_RUN" \
     --dataset-root "$ROOT" \
-    --num-samples 128 --batch-size 32 --method ddim --num-steps 100
+    --num-samples "$N_EVAL" --batch-size "$EVAL_BATCH" --method ddim --num-steps "$EVAL_STEPS"
 
 echo "=== superposed sampling (OR / AND) + compare panel ==="
 python -m superdiff_tpu.cli.sample --run-dir "$TB_RUN" --run-dir2 "$PN_RUN" \
-    --mode or --batch-size 16 --out "$TB_RUN/superposed_or"
+    --mode or --batch-size "$SP_BATCH" --out "$TB_RUN/superposed_or"
 python -m superdiff_tpu.cli.sample --run-dir "$TB_RUN" --run-dir2 "$PN_RUN" \
-    --mode and --batch-size 16 --out "$TB_RUN/superposed_and"
+    --mode and --batch-size "$SP_BATCH" --out "$TB_RUN/superposed_and"
 python -m superdiff_tpu.cli.visualize --compare \
     --run-dir "$TB_RUN" --run-dir2 "$PN_RUN" \
     --out "$TB_RUN/compare" || true

@@ -42,6 +42,29 @@ if _os.environ.get("SUPERDIFF_TPU_PLATFORM"):
     except RuntimeError:
         pass  # backend already initialized; leave as-is
 
+if _os.environ.get("SUPERDIFF_TPU_COMPILE_CACHE", "1") not in ("0", "no",
+                                                               "false"):
+    # Persistent XLA compilation cache, shared by every CLI leg of a
+    # pipeline (train -> evaluate -> sample -> compare re-jit the same
+    # model at the same shapes in separate processes; remote-TPU compiles
+    # take minutes each). Path overridable via the same env var.
+    import jax as _jax
+
+    _cache = _os.environ.get("SUPERDIFF_TPU_COMPILE_CACHE")
+    if _cache in (None, "1", "yes", "true"):
+        # Keyed by requested platform: under a remote-TPU plugin even the
+        # "cpu" backend may live on the remote host, so sharing one cache
+        # between remote-session and local-CPU processes loads AOT results
+        # compiled for a different machine (SIGILL risk).
+        _plat = _os.environ.get("SUPERDIFF_TPU_PLATFORM", "default")
+        _cache = _os.path.join(
+            _os.path.expanduser("~"), ".cache", f"superdiff_tpu_jax_{_plat}")
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - very old jax
+        pass
+
 from superdiff_tpu.diffusion.schedules import DiffusionSchedule, make_schedule
 
 __all__ = ["DiffusionSchedule", "make_schedule", "__version__"]

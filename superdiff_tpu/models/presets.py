@@ -40,6 +40,15 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
     "fast256": dict(base_channels=64, channel_mults=(1, 2, 4, 4),
                     num_res_blocks=2, attn_resolutions=(16,),
                     num_heads=4, pixel_shuffle=4),
+    # eff256 + self-attention also at 32² (S=1024 flattened tokens): the
+    # higher-capacity 256² variant. The 32² attention runs through the
+    # Pallas flash kernel by default (ops/attention.py crossover at
+    # S>=1024); measured on v5e the mixed flash/XLA policy gives
+    # 1.173 samples/sec vs 1.133 pure-XLA — the extra attention level
+    # costs ~28% throughput vs eff256 (BASELINE.md A/B table).
+    "attn256": dict(base_channels=64, channel_mults=(1, 2, 2, 4, 4),
+                    num_res_blocks=2, attn_resolutions=(32, 16),
+                    num_heads=4, pixel_shuffle=2),
 }
 
 RESOLUTION_TO_PRESET = {64: "small64", 128: "base128", 256: "eff256"}

@@ -40,11 +40,14 @@ def _xla_attention(q: jnp.ndarray, k: jnp.ndarray,
 
 def _flash_min_s() -> int:
     """Minimum sequence length for the Pallas kernel (overridable for A/B
-    measurement via SUPERDIFF_TPU_FLASH_MIN_S). Default 256: measured
-    end-to-end on v5e, the flash kernel matches XLA at S=256 and wins above
-    (A/B table in BASELINE.md), so the flagship presets' 16² attention
-    (S=256) runs through it."""
-    return int(os.environ.get("SUPERDIFF_TPU_FLASH_MIN_S", "256"))
+    measurement via SUPERDIFF_TPU_FLASH_MIN_S). Default 1024 — the measured
+    end-to-end crossover on a v5e chip (scripts/bench_attention_ab.py, full
+    DDPM-1000 sampling, A/B table in BASELINE.md): at S=256 (16² maps) the
+    flash kernel is ~3% slower than XLA's fused short-sequence attention,
+    at S=1024 (32² maps) it wins — the mixed policy (flash at 32², XLA at
+    16²) beat both all-XLA (+3.6%) and all-flash (+2.3%) in the attn256
+    preset."""
+    return int(os.environ.get("SUPERDIFF_TPU_FLASH_MIN_S", "1024"))
 
 
 def _use_pallas(q: jnp.ndarray) -> bool:

@@ -95,8 +95,20 @@ def host_init(init_fn, *args):
     except RuntimeError:
         return init_fn(*args)
     default = jax.devices()[0]
-    with jax.default_device(cpu):
-        out = init_fn(*args)
+    # The init trace runs on the CPU backend, but op-level dispatches that
+    # consult the *global* default backend (ops/attention.py) would still
+    # pick Pallas TPU kernels — which cannot lower for CPU. Params are
+    # backend-agnostic, so trace init with Pallas off.
+    prev = os.environ.get("SUPERDIFF_TPU_DISABLE_PALLAS")
+    os.environ["SUPERDIFF_TPU_DISABLE_PALLAS"] = "1"
+    try:
+        with jax.default_device(cpu):
+            out = init_fn(*args)
+    finally:
+        if prev is None:
+            os.environ.pop("SUPERDIFF_TPU_DISABLE_PALLAS", None)
+        else:
+            os.environ["SUPERDIFF_TPU_DISABLE_PALLAS"] = prev
     if default == cpu:
         return out
     return jax.device_put(out, default)

@@ -65,6 +65,50 @@ def save_image_grid(images, path: str, ncols: int = 4,
     return path
 
 
+def to_display_array(img) -> np.ndarray:
+    """Coerce ANY common image container to a displayable (H, W[, 3])
+    float array in [0, 1] — capability of the reference's universal
+    ``show_image`` (``src/visualization/images.py:45-101``), which accepts
+    PIL / torch CHW / numpy HWC interchangeably. Handles: PIL images,
+    numpy / JAX arrays in HW, HWC, CHW (incl. leading batch-of-1), any
+    value range, grayscale or RGB.
+    """
+    if hasattr(img, "convert") and hasattr(img, "size"):  # PIL duck-type
+        img = np.asarray(img.convert("L"), dtype=np.float32)
+    img = np.asarray(img, dtype=np.float32)
+    if img.ndim == 4 and img.shape[0] == 1:    # (1, ., ., .) batch-of-1
+        img = img[0]
+    if img.ndim == 3:
+        if img.shape[0] in (1, 3) and img.shape[-1] not in (1, 3):
+            img = np.moveaxis(img, 0, -1)       # CHW -> HWC
+        if img.shape[-1] == 1:
+            img = img[..., 0]
+    if img.ndim not in (2, 3):
+        raise ValueError(f"cannot display image of shape {img.shape}")
+    lo, hi = float(img.min()), float(img.max())
+    return (img - lo) / max(hi - lo, 1e-6)
+
+
+def show_image(img, path: Optional[str] = None,
+               title: Optional[str] = None, cmap: str = "gray") -> str:
+    """Display (write) one image from any container/layout; returns the
+    written path (defaults to ``show_image.png`` in the cwd). The headless
+    stand-in for the reference's interactive ``show_image``."""
+    plt = _mpl()
+    arr = to_display_array(img)
+    fig, ax = plt.subplots(figsize=(4, 4))
+    ax.imshow(arr, cmap=None if arr.ndim == 3 else cmap)
+    ax.axis("off")
+    if title:
+        ax.set_title(title)
+    path = path or "show_image.png"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(path, dpi=90)
+    plt.close(fig)
+    return path
+
+
 def save_real_vs_generated(real, generated, path: str) -> str:
     """Side-by-side real/generated rows (capability of
     ``show_real_vs_generated``, ``src/utils/visualization.py:31-62``)."""

@@ -191,3 +191,33 @@ def test_dashboard_cli_flag(tree, trained_run, tmp_path):
                "--dataset-root", tree, "--dashboard"])
     assert rc == 0
     assert os.path.getsize(os.path.join(out, "dashboard.html")) > 0
+
+
+# --------------------------------------------- universal display helper ----
+
+def test_to_display_array_layouts():
+    """One helper accepts PIL / HW / HWC / CHW / batch-of-1 (the reference's
+    universal show_image, src/visualization/images.py:45-101)."""
+    from superdiff_tpu.utils.visualization import to_display_array
+
+    hw = np.linspace(-1, 1, 64, dtype=np.float32).reshape(8, 8)
+    for arr in (hw, hw[..., None], hw[None, ..., None],
+                hw[None, :, :], np.stack([hw] * 3, axis=0)):
+        out = to_display_array(arr)
+        assert out.shape[:2] == (8, 8)
+        assert 0.0 <= out.min() and out.max() <= 1.0 + 1e-6
+
+    pil = Image.fromarray((hw * 127 + 128).astype(np.uint8), "L")
+    out = to_display_array(pil)
+    assert out.shape == (8, 8)
+
+    with pytest.raises(ValueError):
+        to_display_array(np.zeros((2, 3, 4, 5, 6), np.float32))
+
+
+def test_show_image_writes_png(tmp_path):
+    from superdiff_tpu.utils.visualization import show_image
+
+    p = show_image(np.random.default_rng(0).random((16, 16)),
+                   path=str(tmp_path / "img.png"), title="t")
+    assert os.path.exists(p) and os.path.getsize(p) > 0

@@ -232,3 +232,14 @@ def test_fast256_preset_builds_and_runs(rng):
     params = m.init(rng, x, t, y)
     out = m.apply(params, x, t, y)
     assert out.shape == (1, 32, 32, 1)
+
+
+def test_attn256_preset_builds():
+    """attn256 = eff256 topology + 32² attention (S=1024 — the level the
+    Pallas flash kernel carries by default, BASELINE.md A/B table)."""
+    from superdiff_tpu.models.presets import build_model
+
+    m = build_model("attn256", num_classes=2)
+    assert m.pixel_shuffle == 2
+    assert m.attn_resolutions == (32, 16)
+    assert m.channel_mults == (1, 2, 2, 4, 4)

@@ -1,5 +1,7 @@
 """Pallas kernel parity tests (interpreter mode on CPU)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -202,3 +204,29 @@ def test_fused_gn_silu_validation(rng):
         fused_groupnorm_silu(x, gamma, beta, 7)        # C % G != 0
     with pytest.raises(ValueError):
         fused_groupnorm_silu(x, gamma, beta, 8, scale, None)
+
+
+def test_host_init_disables_pallas_during_cpu_trace(rng, monkeypatch):
+    """host_init traces model.init on the host CPU backend; the attention
+    dispatch consults the GLOBAL default backend, so on a real TPU session
+    it would try to lower the Pallas kernel for CPU and fail (regression:
+    ValueError 'Only interpret mode is supported on CPU backend')."""
+    import jax
+
+    from superdiff_tpu.models import CondUNet
+    from superdiff_tpu.utils.env import host_init
+
+    # pretend the session default backend is TPU (as under the driver)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("SUPERDIFF_TPU_FLASH_MIN_S", "64")
+
+    model = CondUNet(base_channels=8, channel_mults=(1, 2),
+                     num_res_blocks=1, attn_resolutions=(8,), num_heads=2,
+                     num_classes=2, time_emb_dim=16, groups=4)
+    x = jnp.zeros((2, 16, 16, 1))
+    t = jnp.zeros((2,), dtype=jnp.int32)
+    y = jnp.zeros((2,), dtype=jnp.int32)
+    params = host_init(model.init, rng, x, t, y)
+    assert params is not None
+    # and the env var did not leak
+    assert os.environ.get("SUPERDIFF_TPU_DISABLE_PALLAS") is None

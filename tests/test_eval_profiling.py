@@ -105,3 +105,31 @@ def test_launch_train_arg_validation():
                        capture_output=True, text=True)
     assert r.returncode == 2
     assert "TB or PNEUMONIA" in r.stderr
+
+
+def test_submit_tpu_job_dry_run():
+    """The queued-resource submission script (the reference's sbatch analogue,
+    ``src/scripts/jobs/submit_experiment.sh``) plans accelerator autoselect +
+    pod handoff without needing gcloud, via --dry-run."""
+    script = os.path.join(REPO, "scripts", "submit_tpu_job.sh")
+
+    r = subprocess.run([script, "--experiment", "1"],
+                       capture_output=True, text=True)
+    assert r.returncode == 1 and "usage" in r.stderr
+
+    r = subprocess.run([script, "--experiment", "1", "--run", "3",
+                        "--dataset", "COVID"], capture_output=True, text=True)
+    assert r.returncode == 1 and "TB or PNEUMONIA" in r.stderr
+
+    r = subprocess.run(
+        [script, "--experiment", "1", "--run", "3", "--dataset", "TB",
+         "--dry-run", "--", "--set", "training.num_epochs=2"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    out = r.stdout
+    # first-fit preference list, like the reference's choose_partition()
+    assert out.index("v5litepod-8") < out.index("v5litepod-4") < out.index("v4-8")
+    assert "queued-resources create superdiff-e1-r3" in out
+    assert "tpu_pod_run.sh superdiff-e1-r3" in out
+    assert "launch_train.sh -e 1 -r 3 -d TB" in out
+    assert "training.num_epochs=2" in out

@@ -4,9 +4,9 @@ Capability of ``src/visualization/tsne.py`` (``run_projection`` ``:37-59``,
 ``run_projection_with_thumbnails`` ``:61-124``,
 ``compare_tsne_umap_thumbnails`` ``:127-187``, ``run_projection_3d``
 ``:189-239``) and ``src/visualization/projection.py``. sklearn provides
-t-SNE; UMAP is optional (umap-learn is not in this image) and degrades to a
-clear error naming the missing dependency. Seeds fixed at 42 like the
-reference.
+t-SNE; UMAP uses umap-learn when installed and otherwise the built-in
+NumPy implementation in ``analysis/umap_np.py``. Seeds fixed at 42 like
+the reference.
 """
 
 from __future__ import annotations
@@ -38,10 +38,10 @@ def _project(features: np.ndarray, method: str, n_components: int,
                    random_state=seed).fit_transform(features)
     try:
         import umap
-    except ImportError as e:
-        raise ImportError(
-            "umap-learn is not installed; use method='tsne' or 'pca', or "
-            "install umap-learn") from e
+    except ImportError:
+        from superdiff_tpu.analysis.umap_np import umap_embed
+
+        return umap_embed(features, n_components=n_components, seed=seed)
     return umap.UMAP(n_components=n_components,
                      random_state=seed).fit_transform(features)
 
@@ -121,14 +121,11 @@ def run_projection_with_thumbnails(features, labels, images,
 def compare_tsne_umap_thumbnails(features, labels, images,
                                  path: str = "tsne_vs_umap.png",
                                  zoom: float = 0.5) -> str:
-    """Side-by-side t-SNE vs UMAP thumbnail panels (``tsne.py:127-187``);
-    falls back to t-SNE vs PCA when umap-learn is absent."""
+    """Side-by-side t-SNE vs UMAP thumbnail panels (``tsne.py:127-187``).
+    UMAP comes from umap-learn when installed, else the built-in NumPy
+    implementation (``analysis/umap_np.py``)."""
     plt = _mpl()
     methods = ["tsne", "umap"]
-    try:
-        import umap  # noqa: F401
-    except ImportError:
-        methods = ["tsne", "pca"]
     fig, axes = plt.subplots(1, 2, figsize=(14, 7))
     for ax, method in zip(axes, methods):
         emb = _project(features, method, 2)

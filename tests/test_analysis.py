@@ -84,17 +84,34 @@ def test_run_projection_unknown_method(tmp_path):
                        str(tmp_path / "x.png"))
 
 
-def test_umap_gated(tmp_path):
-    """umap-learn absent in this image -> clear ImportError."""
-    pytest.importorskip_absent = None
-    try:
-        import umap  # noqa: F401
-        pytest.skip("umap installed here")
-    except ImportError:
-        pass
-    with pytest.raises(ImportError):
-        run_projection(np.zeros((10, 4)), np.zeros(10), "umap",
-                       str(tmp_path / "x.png"))
+def test_umap_projection_writes_png(tmp_path):
+    """method='umap' works without umap-learn via the built-in NumPy
+    implementation (umap_np.py covers tsne.py:85-92)."""
+    rng = np.random.default_rng(0)
+    feats = np.vstack([rng.normal(0, 1, (20, 8)), rng.normal(5, 1, (20, 8))])
+    labels = np.repeat([0, 1], 20)
+    p = run_projection(feats, labels, "umap", str(tmp_path / "x.png"))
+    assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_umap_np_separates_blobs_deterministically():
+    from superdiff_tpu.analysis.umap_np import umap_embed
+
+    rng = np.random.default_rng(0)
+    x = np.vstack([rng.normal(0, 1, (80, 16)), rng.normal(5, 1, (80, 16))])
+    emb = umap_embed(x, seed=42)
+    assert emb.shape == (160, 2) and np.isfinite(emb).all()
+    ca, cb = emb[:80].mean(0), emb[80:].mean(0)
+    gap = np.linalg.norm(ca - cb)
+    spread = max(emb[:80].std(), emb[80:].std())
+    assert gap > 2 * spread, (gap, spread)
+    # nearest-centroid assignment recovers the clusters
+    d_own = np.concatenate([np.linalg.norm(emb[:80] - ca, axis=1),
+                            np.linalg.norm(emb[80:] - cb, axis=1)])
+    d_other = np.concatenate([np.linalg.norm(emb[:80] - cb, axis=1),
+                              np.linalg.norm(emb[80:] - ca, axis=1)])
+    assert (d_own < d_other).mean() > 0.95
+    assert np.allclose(emb, umap_embed(x, seed=42))  # deterministic
 
 
 def test_projection_thumbnails_and_compare(tmp_path):

@@ -36,7 +36,7 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_torch_cpu_baseline() -> float:
+def measure_torch_cpu_baseline(res: int = RES) -> float:
     """Samples/sec of the reference workload on PyTorch CPU (extrapolated).
 
     Functional re-derivation of the reference model's compute graph (five
@@ -75,7 +75,7 @@ def measure_torch_cpu_baseline() -> float:
             h = h + (t_emb @ w["te"].T).unsqueeze(-1).unsqueeze(-1)
         return h
 
-    x = torch.randn(1, 1, RES, RES)
+    x = torch.randn(1, 1, res, res)
     denoiser(x)  # warmup
     tic = time.perf_counter()
     n_calls = 2
@@ -89,15 +89,17 @@ def measure_torch_cpu_baseline() -> float:
     return samples_per_sec
 
 
-def get_baseline() -> float:
+def get_baseline(res: int = RES) -> float:
+    """Torch-CPU reference throughput at the benched resolution (cached
+    per resolution, so --res overrides stay apples-to-apples)."""
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             data = json.load(f)
-        if data.get("resolution") == RES and data.get("T") == T:
+        if data.get("resolution") == res and data.get("T") == T:
             return data["torch_cpu_samples_per_sec"]
-    val = measure_torch_cpu_baseline()
+    val = measure_torch_cpu_baseline(res)
     with open(BASELINE_CACHE, "w") as f:
-        json.dump({"resolution": RES, "T": T,
+        json.dump({"resolution": res, "T": T,
                    "torch_cpu_samples_per_sec": val,
                    "note": "reference-architecture DDPM-1000 sampling, "
                            "PyTorch CPU, extrapolated from per-call time"},
@@ -204,7 +206,7 @@ def main():
     p.add_argument("--batch", type=int, default=BATCH)
     args = p.parse_args()
 
-    baseline = get_baseline()
+    baseline = get_baseline(args.res)
     ours = measure_ours(args.preset, args.res, args.batch)
     print(json.dumps({
         "metric": f"{args.res}x{args.res} DDPM-1000 sampling throughput",

@@ -52,16 +52,24 @@ if _os.environ.get("SUPERDIFF_TPU_COMPILE_CACHE", "1") not in ("0", "no",
 
     _cache = _os.environ.get("SUPERDIFF_TPU_COMPILE_CACHE")
     if _cache in (None, "1", "yes", "true"):
-        # Keyed by requested platform: under a remote-TPU plugin even the
-        # "cpu" backend may live on the remote host, so sharing one cache
-        # between remote-session and local-CPU processes loads AOT results
-        # compiled for a different machine (SIGILL risk).
-        _plat = _os.environ.get("SUPERDIFF_TPU_PLATFORM", "default")
+        # Keyed by the *effective* platform (jax.config may have been set
+        # by a caller — e.g. tests/conftest.py — or by sitecustomize, not
+        # just our env var): under a remote-TPU plugin even the "cpu"
+        # backend may live on the remote host, so sharing one cache between
+        # remote-session and local-CPU processes loads AOT results compiled
+        # for a different machine (SIGILL risk).
+        _plat = (_os.environ.get("SUPERDIFF_TPU_PLATFORM")
+                 or getattr(_jax.config, "jax_platforms", None) or "default")
         _cache = _os.path.join(
             _os.path.expanduser("~"), ".cache", f"superdiff_tpu_jax_{_plat}")
     try:
-        _jax.config.update("jax_compilation_cache_dir", _cache)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Never clobber a cache dir the caller already configured (the test
+        # suite points jax at the repo-local .jax_cache/ before importing).
+        if not (getattr(_jax.config, "jax_compilation_cache_dir", None)
+                or _os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+            _jax.config.update("jax_compilation_cache_dir", _cache)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - very old jax
         pass
 

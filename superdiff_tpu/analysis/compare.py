@@ -30,13 +30,12 @@ def compare_runs(run_dir_a: str, run_dir_b: str, out_dir: str,
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    from superdiff_tpu.inference import check_superpose_compat
+
     cfg_a, model_a, schedule, ema_a = load_run(run_dir_a)
     cfg_b, model_b, schedule_b, ema_b = load_run(run_dir_b)
-    if cfg_a.training.num_timesteps != cfg_b.training.num_timesteps:
-        raise ValueError("different T between runs")
+    check_superpose_compat(cfg_a, cfg_b)   # same T/resolution/beta schedule
     R = cfg_a.training.resolution
-    if R != cfg_b.training.resolution:
-        raise ValueError("different resolutions between runs")
 
     shape = (num_samples, R, R, 1)
     rng = jax.random.PRNGKey(seed)

@@ -67,7 +67,7 @@ def build_static_dashboard(dataset_root: str,
     cfg.training.batch_size = min(num_images, 32)
     dm = DataModule(cfg, dataset_root)
     idx = dm.index("train")
-    batch = next(iter(dm.iterator("train")))
+    batch = next(iter(dm.iterator("train", epoch=0)))
     imgs, labels = batch["image"], batch["label"]
 
     parts = ["<html><head><meta charset='utf-8'>"
@@ -136,7 +136,7 @@ def render_app() -> None:  # pragma: no cover - requires streamlit runtime
     n = st.slider("images", 4, 32, 8)
     use_clahe = st.checkbox("CLAHE")
     cfg.training.histogram_equalization = use_clahe
-    batch = next(iter(dm.iterator("train", batch_size=n)))
+    batch = next(iter(dm.iterator("train", batch_size=n, epoch=0)))
     st.image([batch["image"][i, :, :, 0] for i in range(n)], width=96)
 
     st.header("Embedding explorer")

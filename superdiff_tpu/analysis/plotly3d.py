@@ -56,7 +56,7 @@ def hover_html(label_name: str, image: np.ndarray, size: int = 64) -> str:
 def run_plotly_projection_3d_with_thumbnails(
         features: np.ndarray,
         labels: np.ndarray,
-        images: np.ndarray,
+        images: Optional[np.ndarray] = None,
         path: str = "projection3d.html",
         method: str = "tsne",
         class_names: Optional[Sequence[str]] = None,
@@ -65,8 +65,11 @@ def run_plotly_projection_3d_with_thumbnails(
         title: Optional[str] = None) -> str:
     """3D projection -> interactive HTML with thumbnail hovers.
 
-    Raises ImportError naming plotly when the optional dep is absent (the
-    matplotlib 3D PNG path in ``projection.py`` has no such dependency).
+    ``images=None`` drops the hover thumbnails (plain class-colored
+    markers) — the export path ``projection.py::run_projection_3d``
+    delegates here so only one plotly exporter exists. Raises ImportError
+    naming plotly when the optional dep is absent (the matplotlib 3D PNG
+    path in ``projection.py`` has no such dependency).
     """
     try:
         import plotly.graph_objects as go
@@ -83,14 +86,17 @@ def run_plotly_projection_3d_with_thumbnails(
         mask = labels == cls
         name = (class_names[cls] if class_names is not None
                 and cls < len(class_names) else f"class {cls}")
-        hovers = [hover_html(name, images[i], thumb_size)
-                  for i in np.where(mask)[0]]
+        hover_kw = {}
+        if images is not None:
+            hover_kw = dict(hoverinfo="text",
+                            hovertext=[hover_html(name, images[i], thumb_size)
+                                       for i in np.where(mask)[0]])
         fig.add_trace(go.Scatter3d(
             x=emb[mask, 0], y=emb[mask, 1], z=emb[mask, 2],
             mode="markers", name=name,
             marker=dict(size=6, color=colors[int(cls) % len(colors)],
                         opacity=0.85),
-            hoverinfo="text", hovertext=hovers))
+            **hover_kw))
     fig.update_layout(
         scene=dict(xaxis_title="Component 1", yaxis_title="Component 2",
                    zaxis_title="Component 3"),

@@ -157,13 +157,12 @@ def run_projection_3d(features, labels, method: str = "tsne",
     plt.close(fig)
     if interactive_html:
         try:
-            import plotly.graph_objects as go
+            from superdiff_tpu.analysis.plotly3d import (
+                run_plotly_projection_3d_with_thumbnails)
 
-            figp = go.Figure(data=[go.Scatter3d(
-                x=emb[:, 0], y=emb[:, 1], z=emb[:, 2],
-                mode="markers",
-                marker=dict(size=3, color=np.asarray(labels)))])
-            figp.write_html(interactive_html)
+            run_plotly_projection_3d_with_thumbnails(
+                features, labels, images=None, path=interactive_html,
+                method=method, class_names=class_names)
         except ImportError:
             import logging
 

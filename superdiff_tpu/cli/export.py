@@ -26,11 +26,24 @@ EXPORT_FILE = "ema_params.npz"
 
 
 def export_params(params, path: str, dtype: str = "float32") -> int:
-    """Flatten a param pytree into one compressed npz; returns #arrays."""
+    """Flatten a param pytree into one compressed npz; returns #arrays.
+
+    numpy cannot round-trip ml_dtypes bfloat16 through npz (it serializes
+    as raw ``|V2`` void), so bfloat16 arrays are stored as their uint16 bit
+    pattern under a ``bf16:``-prefixed key and viewed back on load."""
     from flax.traverse_util import flatten_dict
 
     flat = flatten_dict(params, sep="/")
-    arrays = {k: np.asarray(v).astype(dtype) for k, v in flat.items()}
+    arrays = {}
+    for k, v in flat.items():
+        a = np.asarray(v)
+        if dtype == "bfloat16":
+            import ml_dtypes
+
+            arrays["bf16:" + k] = a.astype(ml_dtypes.bfloat16).view(
+                np.uint16)
+        else:
+            arrays[k] = a.astype(dtype)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez_compressed(path, **arrays)
     return len(arrays)
@@ -40,8 +53,15 @@ def load_exported_params(path: str):
     """npz -> param pytree (inverse of :func:`export_params`)."""
     from flax.traverse_util import unflatten_dict
 
+    flat = {}
     with np.load(path) as z:
-        flat = {tuple(k.split("/")): z[k] for k in z.files}
+        for k in z.files:
+            a = z[k]
+            if k.startswith("bf16:"):
+                import ml_dtypes
+
+                k, a = k[len("bf16:"):], a.view(ml_dtypes.bfloat16)
+            flat[tuple(k.split("/"))] = a
     return unflatten_dict(flat)
 
 

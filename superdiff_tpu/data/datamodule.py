@@ -25,7 +25,8 @@ class DataModule:
         self.cfg = cfg
         self.root = dataset_root
         self._indices: Dict[str, ChestXrayIndex] = {}
-        self._iterators: Dict[tuple, object] = {}
+        self._epochs: Dict[tuple, int] = {}
+        self._decode_caches: Dict[str, dict] = {}
 
     def index(self, split: str) -> ChestXrayIndex:
         if split not in self._indices:
@@ -35,24 +36,29 @@ class DataModule:
         return self._indices[split]
 
     def iterator(self, split: str, shuffle: Optional[bool] = None,
-                 batch_size: Optional[int] = None):
-        # One iterator per (split, shuffle, batch_size), cached: both
-        # BatchIterator and NativeBatchIterator advance an internal _epoch
-        # used as the shuffle-seed offset, so a fresh instance per epoch
-        # would replay the identical order (and drop the decode cache).
+                 batch_size: Optional[int] = None,
+                 epoch: Optional[int] = None):
+        """A fresh iterator each call — no state shared between consumers
+        (a probe like ``next(iter(dm.iterator("train")))`` cannot perturb a
+        training stream mid-epoch). The shuffle order still advances across
+        calls: a per-(split, shuffle, batch_size) epoch counter folds into
+        the seed when ``epoch`` is None; pass an explicit ``epoch`` for a
+        deterministic replay or a non-consuming probe. The host decode
+        cache is shared per split, so re-instantiating stays cheap."""
         t = self.cfg.training
         shuffle = shuffle if shuffle is not None else (split == "train")
-        key = (split, shuffle, batch_size or t.batch_size)
-        if key in self._iterators:
-            return self._iterators[key]
-        self._iterators[key] = self._build_iterator(
-            split, shuffle, batch_size or t.batch_size)
-        return self._iterators[key]
+        bs = batch_size or t.batch_size
+        if epoch is None:
+            key = (split, shuffle, bs)
+            epoch = self._epochs.get(key, 0)
+            self._epochs[key] = epoch + 1
+        return self._build_iterator(split, shuffle, bs, epoch)
 
-    def _build_iterator(self, split: str, shuffle: bool, batch_size: int):
+    def _build_iterator(self, split: str, shuffle: bool, batch_size: int,
+                        epoch: int):
         t = self.cfg.training
         if t.use_native_loader and shuffle:
-            it = self._native_iterator(split, batch_size)
+            it = self._native_iterator(split, batch_size, epoch)
             if it is not None:
                 return it
         return BatchIterator(
@@ -60,12 +66,13 @@ class DataModule:
             batch_size=batch_size,
             resolution=t.resolution,
             shuffle=shuffle,
-            seed=t.seed,
+            seed=t.seed + epoch,
             resize_strategy=t.resize_strategy,
             histogram_equalization=t.histogram_equalization,
+            cache=self._decode_caches.setdefault(split, {}),
         )
 
-    def _native_iterator(self, split: str, batch_size: int):
+    def _native_iterator(self, split: str, batch_size: int, epoch: int = 0):
         """C++ mmap+prefetch loader over a one-time-built shard; None when
         the native library is unavailable (callers fall back to Python)."""
         import logging
@@ -90,7 +97,7 @@ class DataModule:
                 self.index(split), shard, t.resolution,
                 resize_strategy=t.resize_strategy,
                 histogram_equalization=t.histogram_equalization)
-        return NativeBatchIterator(shard, batch_size, seed=t.seed)
+        return NativeBatchIterator(shard, batch_size, seed=t.seed + epoch)
 
     def device_batches(self, split: str, rng: jax.Array
                        ) -> Iterator[Dict[str, jnp.ndarray]]:

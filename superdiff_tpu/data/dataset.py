@@ -98,7 +98,7 @@ class BatchIterator:
                  resolution: int, shuffle: bool = True, seed: int = 0,
                  drop_last: bool = True, resize_strategy: str = "pad",
                  histogram_equalization: bool = False,
-                 cache: bool = True):
+                 cache=True):
         self.index = index
         self.batch_size = batch_size
         self.resolution = resolution
@@ -108,7 +108,10 @@ class BatchIterator:
         self.resize_strategy = resize_strategy
         self.histogram_equalization = histogram_equalization
         self._epoch = 0
-        self._cache: Optional[Dict[str, np.ndarray]] = {} if cache else None
+        # True -> private dict; an existing dict can be passed in to share
+        # decoded images across iterator instances (see DataModule).
+        self._cache: Optional[Dict[str, np.ndarray]] = (
+            cache if isinstance(cache, dict) else ({} if cache else None))
 
     def _load(self, path: str) -> np.ndarray:
         from superdiff_tpu.data.transforms import host_resize, clahe

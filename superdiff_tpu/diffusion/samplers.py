@@ -62,7 +62,12 @@ def make_frame_recorder(total_steps: int, num_frames: int):
     (``src/utils/visualization.py:6-15``). O(num_frames) memory instead of
     materializing every step's state (T x B x H x W stacking is GBs at
     256²/T=1000).
+
+    ``num_frames`` is clamped to ``total_steps`` (a scan step writes at
+    most one slot, so more frames than steps would leave the leading slots
+    as their all-zeros init — black panels in the rendered strip).
     """
+    num_frames = min(num_frames, total_steps)
     every = max(1, total_steps // num_frames)
 
     def init(shape, dtype):

@@ -39,6 +39,10 @@ def load_run(run_dir: str, step: Optional[int] = None
     export_path = os.path.join(run_dir, "ema_params.npz")
     ckpt_dir = os.path.join(run_dir, cfg.paths.checkpoint_dir)
     if os.path.exists(export_path) and not os.path.isdir(ckpt_dir):
+        if step is not None:
+            raise ValueError(
+                f"{run_dir} is an exported inference artifact holding one "
+                "snapshot; --step is only meaningful on a training run dir")
         from superdiff_tpu.cli.export import load_exported_params
 
         ema = jax.tree_util.tree_map(

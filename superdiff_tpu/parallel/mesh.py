@@ -41,10 +41,15 @@ def maybe_init_distributed() -> None:
         return
     coord = os.environ.get("SUPERDIFF_TPU_COORDINATOR")
     if coord:
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=int(os.environ["SUPERDIFF_TPU_NUM_PROCESSES"]),
-            process_id=int(os.environ["SUPERDIFF_TPU_PROCESS_ID"]))
+        nproc = os.environ.get("SUPERDIFF_TPU_NUM_PROCESSES")
+        pid = os.environ.get("SUPERDIFF_TPU_PROCESS_ID")
+        if nproc is None or pid is None:
+            raise ValueError(
+                "SUPERDIFF_TPU_COORDINATOR requires SUPERDIFF_TPU_NUM_"
+                "PROCESSES and SUPERDIFF_TPU_PROCESS_ID to be set too")
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=int(nproc),
+                                   process_id=int(pid))
     else:
         jax.distributed.initialize()
 

@@ -93,7 +93,7 @@ def train(cfg: Config,
         dm = DataModule(cfg, root)
         dm.index("train")  # fail fast if the tree is missing
     steps_per_epoch = (t.steps_per_epoch if t.steps_per_epoch
-                       else (len(dm.iterator("train")) if dm else 4))
+                       else (len(dm.iterator("train", epoch=0)) if dm else 4))
 
     # model + schedule + state
     schedule = make_schedule(t.num_timesteps, kind=t.schedule,

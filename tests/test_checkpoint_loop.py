@@ -221,6 +221,23 @@ def test_export_then_sample_from_artifact(tmp_path):
     stack = np.load(os.path.join(out_dir, "samples.npy"))
     assert stack.shape == (2, 16, 16, 1) and np.isfinite(stack).all()
 
+    # --step is meaningless on a single-snapshot artifact -> clear error
+    import pytest
+    with pytest.raises(ValueError, match="exported"):
+        load_run(art, step=0)
+
+    # bfloat16 export must round-trip (npz can't serialize ml_dtypes
+    # bfloat16 directly; stored as uint16 bit patterns)
+    art16 = str(tmp_path / "artifact_bf16")
+    assert export_main(["--run-dir", run_dir, "--out", art16,
+                        "--dtype", "bfloat16"]) == 0
+    _, _, _, ema_bf = load_run(art16)
+    for a, b in zip(jax.tree_util.tree_leaves(ema_ckpt),
+                    jax.tree_util.tree_leaves(ema_bf)):
+        assert b.dtype == np.float32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=1e-2)
+
 
 def test_superpose_compat_check():
     """Schedule mismatch between runs must be rejected, not silently mixed

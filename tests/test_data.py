@@ -202,20 +202,45 @@ def test_datamodule(tree, rng):
 
 
 def test_datamodule_reshuffles_each_epoch(tree):
-    """iterator() must return ONE cached iterator per split so the internal
-    epoch counter advances — a fresh instance per epoch would replay the
-    identical shuffle order every epoch (round-1 advisor finding)."""
+    """Successive iterator() calls must advance the shuffle order (a fixed
+    seed per call would replay the identical order every epoch — round-1
+    advisor finding), while an explicit epoch= replays deterministically."""
     cfg = Config()
     cfg.task = "PNEUMONIA"
     cfg.training.batch_size = 4
     cfg.training.resolution = 16
     dm = DataModule(cfg, tree)
-    assert dm.iterator("train") is dm.iterator("train")
 
-    def epoch_labels():
+    def epoch_labels(**kw):
         return np.concatenate(
-            [b["label"] for b in dm.iterator("train")])
+            [b["label"] for b in dm.iterator("train", **kw)])
 
     e0, e1, e2 = epoch_labels(), epoch_labels(), epoch_labels()
     assert not (np.array_equal(e0, e1) and np.array_equal(e1, e2)), \
         "train shuffle order identical across epochs"
+    # explicit epoch: deterministic replay, independent of the counter
+    np.testing.assert_array_equal(epoch_labels(epoch=0),
+                                  epoch_labels(epoch=0))
+
+
+def test_datamodule_probe_does_not_perturb_stream(tree):
+    """iterator() returns a fresh object per call: probing one (dashboard
+    next(iter(...)), len()) must not restart or advance another consumer's
+    stream mid-epoch (round-2 review finding)."""
+    cfg = Config()
+    cfg.task = "PNEUMONIA"
+    cfg.training.batch_size = 4
+    cfg.training.resolution = 16
+    dm = DataModule(cfg, tree)
+
+    it = dm.iterator("train", epoch=3)
+    gen = iter(it)
+    first = next(gen)["label"]
+    # interleave a probe on the same split/key
+    next(iter(dm.iterator("train", epoch=0)))
+    rest = [b["label"] for b in gen]
+    # the original stream continues its own epoch-3 order, unperturbed
+    expected = np.concatenate(
+        [b["label"] for b in dm.iterator("train", epoch=3)])
+    np.testing.assert_array_equal(
+        np.concatenate([first] + rest), expected)

@@ -46,6 +46,19 @@ print("DISTRIBUTED_INIT_OK", jax.process_count(), len(jax.devices()))
 """
 
 
+def test_incomplete_coordinator_triple_rejected(monkeypatch):
+    """COORDINATOR without NUM_PROCESSES/PROCESS_ID must raise a clear
+    ValueError naming the required vars, not a KeyError (round-2 review)."""
+    from superdiff_tpu.parallel import maybe_init_distributed
+
+    monkeypatch.setenv("SUPERDIFF_TPU_MULTIHOST", "1")
+    monkeypatch.setenv("SUPERDIFF_TPU_COORDINATOR", "localhost:1234")
+    monkeypatch.delenv("SUPERDIFF_TPU_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("SUPERDIFF_TPU_PROCESS_ID", raising=False)
+    with pytest.raises(ValueError, match="SUPERDIFF_TPU_NUM_PROCESSES"):
+        maybe_init_distributed()
+
+
 def test_single_process_distributed_init():
     import socket
 

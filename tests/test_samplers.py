@@ -79,6 +79,20 @@ def test_trajectory_frames(schedule, rng):
     assert np.isfinite(np.asarray(frames)).all()
 
 
+def test_trajectory_frames_clamped_to_steps(rng):
+    """num_frames > total steps clamps (one write per scan step — extra
+    leading slots would otherwise stay all-zeros: round-2 review)."""
+    from superdiff_tpu.diffusion import ddim_sample
+
+    short = make_schedule(10)
+    x, frames = ddim_sample(short, linear_model, SHAPE, rng,
+                            num_steps=5, num_frames=8)
+    assert frames.shape == (5,) + SHAPE
+    # every frame written (a zero frame would have zero variance)
+    for f in np.asarray(frames):
+        assert f.std() > 0
+
+
 def test_ddim_timesteps_subsequence():
     ts = ddim_timesteps(1000, 50)
     assert len(ts) == 50

@@ -191,7 +191,12 @@ def train(cfg: Config,
                         os.path.join(paths.output_dir, "profile"))
                     profiling = True
                 state, m = step_fn(state, batch)
-                epoch_losses.append(float(m["loss"]))
+                # Keep the loss as a device scalar: float() here would block
+                # on every step and serialize the pipeline (next batch's
+                # host prep + upload can't overlap the running step, which
+                # costs ~3x at 256² over the remote tunnel). One device_get
+                # at epoch end syncs the whole list.
+                epoch_losses.append(m["loss"])
                 last_real = batch["image"]
                 if profiling and i >= profile_after + cfg.logging.profile_steps:
                     jax.block_until_ready(m)
@@ -208,6 +213,7 @@ def train(cfg: Config,
                 logger.info("stopped at step %d; checkpoint saved",
                             int(state.step))
                 break
+            epoch_losses = [float(x) for x in jax.device_get(epoch_losses)]
             dt = time.time() - tic
             avg = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
             all_losses.extend(epoch_losses)

@@ -128,20 +128,31 @@ def peak_flops_per_chip(device) -> float:
 
 def denoiser_flops(model, params, x, t0, y) -> float:
     """FLOPs of ONE denoiser forward at the bench batch, from XLA's own HLO
-    cost analysis of the lowered computation (no remote compile needed);
-    falls back to 0 when the backend can't report."""
+    cost analysis. The remote-TPU plugin reports none for the unlowered
+    computation, so fall back to compiling on the coexisting local CPU
+    backend (same HLO math, ~1 min compile, done once per bench run);
+    0.0 when neither backend can report."""
     import jax
 
-    try:
-        lowered = jax.jit(
-            lambda xx, tt, yy: model.apply(params, xx, tt, yy)
-        ).lower(x, t0, y)
-        cost = lowered.cost_analysis()
+    fn = lambda xx, tt, yy: model.apply(params, xx, tt, yy)
+
+    def _flops(cost):
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        return float(cost.get("flops", 0.0))
+        return float(cost.get("flops", 0.0)) if cost else 0.0
+
+    try:
+        val = _flops(jax.jit(fn).lower(x, t0, y).cost_analysis())
+        if val > 0:
+            return val
     except Exception as e:  # pragma: no cover - backend capability
-        log(f"cost_analysis unavailable: {e}")
+        log(f"default-backend cost_analysis unavailable: {e}")
+    try:
+        log("lowering on local CPU backend for FLOP count ...")
+        return _flops(jax.jit(fn, backend="cpu").lower(x, t0, y)
+                      .compile().cost_analysis())
+    except Exception as e:  # pragma: no cover - backend capability
+        log(f"cpu cost_analysis unavailable: {e}")
         return 0.0
 
 

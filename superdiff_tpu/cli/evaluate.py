@@ -52,8 +52,7 @@ def main(argv=None) -> int:
     from superdiff_tpu.diffusion import ddpm_sample, ddim_sample
     from superdiff_tpu.diffusion.superdiff import superdiff_sample
     from superdiff_tpu.inference import (check_superpose_compat, load_run,
-                                         make_eps_fn, make_stacked_eps_fn,
-                                         same_architecture)
+                                         make_eps_fn)
 
     cfg, model, schedule, ema = load_run(args.run_dir)
     R = cfg.training.resolution
@@ -103,9 +102,9 @@ def main(argv=None) -> int:
     if args.run_dir2:
         cfg2, model2, schedule2, ema2 = load_run(args.run_dir2)
         check_superpose_compat(cfg, cfg2)
-        fns = (make_stacked_eps_fn(model, [ema, ema2])
-               if same_architecture(cfg, cfg2)
-               else [fn, make_eps_fn(model2, ema2)])
+        # sequential per-model calls: measured faster than the stacked
+        # vmap on TPU (see cli/sample.py and scripts/bench_superdiff.py)
+        fns = [fn, make_eps_fn(model2, ema2)]
         xs, logq = jax.jit(lambda r: superdiff_sample(
             schedule, fns, shape, r, mode="or", num_models=2))(
                 jax.random.PRNGKey(args.seed))

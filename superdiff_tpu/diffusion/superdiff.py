@@ -49,11 +49,18 @@ def stack_eps_fns(apply_fn: Callable, params_list: Sequence) -> Callable:
 
     Stacks the M parameter pytrees on a leading axis and vmaps the apply
     function over it, so each sampler step issues a single XLA computation
-    with an M-major batch instead of M sequential model dispatches — the
-    multi-model analogue of the CFG 2B-stacked call
-    (:func:`~superdiff_tpu.diffusion.samplers._guided_eps`). Returns
+    with an M-major batch — the multi-model analogue of the CFG 2B-stacked
+    call (:func:`~superdiff_tpu.diffusion.samplers._guided_eps`). Returns
     ``fn(x, t) -> (M, B, ...)`` suitable for
     ``superdiff_sample(..., model_fns=fn, num_models=M)``.
+
+    Measured caveat (v5e, eff256, batch 16, scripts/bench_superdiff.py):
+    for conv UNets this is SLOWER than M sequential calls inside the same
+    jit (0.686 vs 0.822 samples/sec) — unlike CFG, which batches the *data*
+    under shared weights, vmapping over params makes every conv an M-kernel
+    batched conv, which XLA lowers off the fast path. The CLIs therefore
+    default to sequential per-model closures; use this only where measured
+    to win (e.g. matmul-dominated models).
     """
     stacked = jax.tree_util.tree_map(
         lambda *ps: jnp.stack(ps), *params_list)

@@ -141,19 +141,28 @@ def denoiser_flops(model, params, x, t0, y) -> float:
             cost = cost[0]
         return float(cost.get("flops", 0.0)) if cost else 0.0
 
+    # Count with Pallas disabled for BOTH attempts: the XLA fallback is the
+    # same math (identical FLOPs), and a default-backend trace containing a
+    # pallas_call would be cached by avals inside the kernel's custom_vjp —
+    # the CPU retrace then reuses it and fails with "only interpret mode is
+    # supported on CPU".
+    os.environ["SUPERDIFF_TPU_DISABLE_PALLAS"] = "1"
     try:
-        val = _flops(jax.jit(fn).lower(x, t0, y).cost_analysis())
-        if val > 0:
-            return val
-    except Exception as e:  # pragma: no cover - backend capability
-        log(f"default-backend cost_analysis unavailable: {e}")
-    try:
-        log("lowering on local CPU backend for FLOP count ...")
-        return _flops(jax.jit(fn, backend="cpu").lower(x, t0, y)
-                      .compile().cost_analysis())
-    except Exception as e:  # pragma: no cover - backend capability
-        log(f"cpu cost_analysis unavailable: {e}")
-        return 0.0
+        try:
+            val = _flops(jax.jit(fn).lower(x, t0, y).cost_analysis())
+            if val > 0:
+                return val
+        except Exception as e:  # pragma: no cover - backend capability
+            log(f"default-backend cost_analysis unavailable: {e}")
+        try:
+            log("lowering on local CPU backend for FLOP count ...")
+            return _flops(jax.jit(fn, backend="cpu").lower(x, t0, y)
+                          .compile().cost_analysis())
+        except Exception as e:  # pragma: no cover - backend capability
+            log(f"cpu cost_analysis unavailable: {e}")
+            return 0.0
+    finally:
+        del os.environ["SUPERDIFF_TPU_DISABLE_PALLAS"]
 
 
 def measure_ours(preset: str = PRESET, res: int = RES,
@@ -177,6 +186,12 @@ def measure_ours(preset: str = PRESET, res: int = RES,
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     log(f"init {n_params:,} params in {time.time()-tic:.0f}s (host CPU)")
 
+    # FLOP count BEFORE any TPU execution: the CPU-backend fallback
+    # lowering inside denoiser_flops fails once the remote plugin has run
+    # a computation in this process (Pallas calls refuse CPU lowering in
+    # that state); pre-run it works and the count is execution-independent.
+    flops_step = denoiser_flops(model, params, x, t0, y)
+
     schedule = make_schedule(T)
     apply_fn = lambda xx, tt, yy: model.apply(params, xx, tt, yy)
 
@@ -195,7 +210,6 @@ def measure_ours(preset: str = PRESET, res: int = RES,
     sps = batch / dt
     ms_step = dt / T * 1e3
 
-    flops_step = denoiser_flops(model, params, x, t0, y)
     achieved = flops_step * T / dt          # FLOP/s over the whole scan
     peak = peak_flops_per_chip(jax.devices()[0])
     mfu = achieved / peak if peak else 0.0

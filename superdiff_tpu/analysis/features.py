@@ -16,6 +16,10 @@ egress, so the rebuilt interface is backend-pluggable:
   run as pure JAX on the accelerator (``analysis/resnet.py``), enabling
   standard-FID the moment weights are available (no egress needed at
   runtime);
+- ``"densenet121"`` — same for DenseNet121 (``analysis/densenet.py``) —
+  the reference's CheXNet path (torchxrayvision checkpoints keep
+  torchvision key naming, so a locally saved ``densenet121-res224-all``
+  state dict loads directly, 1024-d pooled features);
 - ``"torch"`` — optional escape hatch for arbitrary local torch callables.
 
 All extractors expose ``extract(images_nhwc) -> (B, D) float32`` and batch
@@ -71,15 +75,21 @@ class FeatureExtractor:
                  seed: int = 0, feature_dim: int = 256,
                  checkpoint: Optional[str] = None):
         self.kind = kind
-        if kind == "resnet18":
-            from superdiff_tpu.analysis.resnet import load_torch_resnet18
+        if kind in ("resnet18", "densenet121"):
+            if kind == "resnet18":
+                from superdiff_tpu.analysis.resnet import (
+                    load_torch_resnet18 as load_ckpt)
+            else:
+                from superdiff_tpu.analysis.densenet import (
+                    load_torch_densenet121 as load_ckpt)
 
             if params is None:
                 if checkpoint is None:
                     raise ValueError(
-                        "resnet18 backend needs checkpoint= (path to a "
-                        "torchvision state_dict) or params= (converted)")
-                params = load_torch_resnet18(checkpoint)
+                        f"{kind} backend needs checkpoint= (path to a "
+                        "torchvision-style state_dict) or params= "
+                        "(converted)")
+                params = load_ckpt(checkpoint)
             self._params = params
         elif kind == "random":
             self._model = SmallCNN(num_classes=feature_dim)
@@ -109,6 +119,11 @@ class FeatureExtractor:
 
             def fn(x):
                 return resnet18_features(self._params, x)
+        elif self.kind == "densenet121":
+            from superdiff_tpu.analysis.densenet import densenet121_features
+
+            def fn(x):
+                return densenet121_features(self._params, x)
         elif self.kind == "random":
             if self._params is None:
                 self._params = self._model.init(

@@ -310,6 +310,117 @@ def test_resnet18_rejects_wrong_checkpoint():
         convert_torch_resnet18({"not_a_resnet": np.zeros(3)})
 
 
+def _fake_densenet121_state_dict(seed=0):
+    """Random-weight state dict with torchvision densenet121's exact keys
+    and shapes (growth 32, stem 64, blocks 6/12/24/16)."""
+    rng = np.random.default_rng(seed)
+    sd = {}
+
+    def conv(key, cout, cin, k):
+        sd[key] = rng.standard_normal((cout, cin, k, k)).astype(
+            np.float32) * 0.05
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[f"{prefix}.bias"] = rng.standard_normal(c).astype(
+            np.float32) * 0.1
+        sd[f"{prefix}.running_mean"] = rng.standard_normal(c).astype(
+            np.float32) * 0.1
+        sd[f"{prefix}.running_var"] = rng.uniform(0.5, 1.5, c).astype(
+            np.float32)
+
+    growth, ch = 32, 64
+    conv("features.conv0.weight", 64, 3, 7)
+    bn("features.norm0", 64)
+    for i, n_layers in enumerate((6, 12, 24, 16), start=1):
+        for j in range(1, n_layers + 1):
+            p = f"features.denseblock{i}.denselayer{j}"
+            bn(f"{p}.norm1", ch)
+            conv(f"{p}.conv1.weight", 4 * growth, ch, 1)
+            bn(f"{p}.norm2", 4 * growth)
+            conv(f"{p}.conv2.weight", growth, 4 * growth, 3)
+            ch += growth
+        if i < 4:
+            bn(f"features.transition{i}.norm", ch)
+            conv(f"features.transition{i}.conv.weight", ch // 2, ch, 1)
+            ch //= 2
+    bn("features.norm5", ch)
+    assert ch == 1024
+    return sd
+
+
+def _torch_densenet121_features(sd, x_nhwc):
+    """Literal torch re-derivation of the DenseNet121 feature graph
+    (grayscale input replicated to RGB — equivalent to the kernel-sum
+    surgery the converter applies)."""
+    import torch
+    import torch.nn.functional as F
+
+    t = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+
+    def bn(h, p):
+        return F.batch_norm(h, t[f"{p}.running_mean"],
+                            t[f"{p}.running_var"], t[f"{p}.weight"],
+                            t[f"{p}.bias"], training=False, eps=1e-5)
+
+    with torch.no_grad():
+        h = torch.from_numpy(
+            np.asarray(x_nhwc).transpose(0, 3, 1, 2)).repeat(1, 3, 1, 1)
+        h = F.relu(bn(F.conv2d(h, t["features.conv0.weight"], stride=2,
+                               padding=3), "features.norm0"))
+        h = F.max_pool2d(h, 3, stride=2, padding=1)
+        for i, n_layers in enumerate((6, 12, 24, 16), start=1):
+            for j in range(1, n_layers + 1):
+                p = f"features.denseblock{i}.denselayer{j}"
+                y = F.conv2d(F.relu(bn(h, f"{p}.norm1")),
+                             t[f"{p}.conv1.weight"])
+                y = F.conv2d(F.relu(bn(y, f"{p}.norm2")),
+                             t[f"{p}.conv2.weight"], padding=1)
+                h = torch.cat([h, y], dim=1)
+            if i < 4:
+                p = f"features.transition{i}"
+                h = F.conv2d(F.relu(bn(h, f"{p}.norm")),
+                             t[f"{p}.conv.weight"])
+                h = F.avg_pool2d(h, 2, stride=2)
+        h = F.relu(bn(h, "features.norm5"))
+        return h.mean(dim=(2, 3)).numpy()
+
+
+def test_densenet121_matches_torch_oracle():
+    """Converter + pure-JAX forward must reproduce the torch DenseNet121
+    graph from the same state dict (the reference's CheXNet extractor,
+    feature_extractor.py:35-46)."""
+    from superdiff_tpu.analysis.densenet import (convert_torch_densenet121,
+                                                 densenet121_features)
+
+    sd = _fake_densenet121_state_dict()
+    x = np.random.default_rng(1).standard_normal(
+        (2, 64, 64, 1)).astype(np.float32)
+    ours = np.asarray(densenet121_features(convert_torch_densenet121(sd),
+                                           jnp.asarray(x)))
+    oracle = _torch_densenet121_features(sd, x)
+    assert ours.shape == (2, 1024)
+    np.testing.assert_allclose(ours, oracle, rtol=2e-3, atol=2e-3)
+
+
+def test_densenet121_extractor_from_saved_checkpoint(tmp_path):
+    import torch
+
+    sd = _fake_densenet121_state_dict(seed=5)
+    path = str(tmp_path / "densenet121.pt")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               path)
+    ex = FeatureExtractor("densenet121", checkpoint=path)
+    imgs, _ = synthetic_xray_batch(4, 64)
+    feats = ex.extract(imgs)
+    assert feats.shape == (4, 1024)
+    assert np.isfinite(feats).all()
+
+    from superdiff_tpu.analysis.densenet import convert_torch_densenet121
+    with pytest.raises(KeyError, match="conv0.weight"):
+        convert_torch_densenet121({"nope": np.zeros(3)})
+
+
 # ------------------------------------------------------- plotly 3D HTML ---
 
 def test_thumbnail_data_uri_roundtrip():

@@ -20,6 +20,9 @@ egress, so the rebuilt interface is backend-pluggable:
   the reference's CheXNet path (torchxrayvision checkpoints keep
   torchvision key naming, so a locally saved ``densenet121-res224-all``
   state dict loads directly, 1024-d pooled features);
+- ``"hf"`` — a *local* HuggingFace vision checkpoint dir (the BiomedCLIP
+  vision-tower path, ``feature_extractor.py:48-51``; save once with
+  ``save_pretrained()`` where egress exists, point ``checkpoint=`` at it);
 - ``"torch"`` — optional escape hatch for arbitrary local torch callables.
 
 All extractors expose ``extract(images_nhwc) -> (B, D) float32`` and batch
@@ -109,6 +112,16 @@ class FeatureExtractor:
             if model is None:
                 raise ValueError("torch backend needs a callable model")
             self._torch_fn = model
+        elif kind == "hf":
+            # BiomedCLIP-style vision tower (feature_extractor.py:48-51)
+            # from a LOCAL HuggingFace checkpoint dir — no egress: the user
+            # saves the model once with save_pretrained() wherever they do
+            # have network, and points checkpoint= at it.
+            if checkpoint is None:
+                raise ValueError(
+                    "hf backend needs checkpoint= (a local directory saved "
+                    "with save_pretrained())")
+            self._torch_fn = _make_hf_vision_fn(checkpoint)
         else:
             raise ValueError(f"unknown extractor kind {kind!r}")
         self._jitted: Optional[Callable] = None
@@ -167,11 +180,45 @@ class FeatureExtractor:
 
     def extract(self, images) -> np.ndarray:
         images = jnp.asarray(images)
-        if self.kind == "torch":
+        if self.kind in ("torch", "hf"):
             return np.asarray(self._torch_fn(np.asarray(images)))
         if self._jitted is None:
             self._jitted = self._build_fn(images)
         return np.asarray(self._jitted(images))
+
+
+def _make_hf_vision_fn(checkpoint_dir: str):
+    """Local HF vision model -> ``(B, H, W, 1) numpy -> (B, D)`` callable.
+
+    Replicates grayscale to the model's expected channels, resizes to its
+    configured input size, and returns the pooled output (pooler_output
+    when present, else mean over the last hidden state's tokens) — the
+    tensor the reference's BiomedCLIP closure exposes.
+    """
+    import torch
+    from transformers import AutoModel
+
+    model = AutoModel.from_pretrained(checkpoint_dir,
+                                      local_files_only=True).eval()
+    size = getattr(model.config, "image_size", 224)
+    channels = getattr(model.config, "num_channels", 3)
+
+    @torch.no_grad()
+    def fn(images_nhwc: np.ndarray) -> np.ndarray:
+        x = torch.from_numpy(
+            np.asarray(images_nhwc, dtype=np.float32).transpose(0, 3, 1, 2))
+        if x.shape[1] == 1 and channels != 1:
+            x = x.repeat(1, channels, 1, 1)
+        if x.shape[-1] != size:
+            x = torch.nn.functional.interpolate(
+                x, size=(size, size), mode="bilinear", align_corners=False)
+        out = model(pixel_values=x)
+        pooled = getattr(out, "pooler_output", None)
+        if pooled is None:
+            pooled = out.last_hidden_state.mean(dim=1)
+        return pooled.numpy()
+
+    return fn
 
 
 def _find_bottleneck(intermediates: dict):

@@ -421,6 +421,29 @@ def test_densenet121_extractor_from_saved_checkpoint(tmp_path):
         convert_torch_densenet121({"nope": np.zeros(3)})
 
 
+def test_hf_vision_extractor_from_local_dir(tmp_path):
+    """kind='hf' loads a local save_pretrained() vision model (the
+    reference's BiomedCLIP path, feature_extractor.py:48-51) with no
+    network access."""
+    transformers = pytest.importorskip("transformers")
+
+    cfg = transformers.ViTConfig(
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=64, image_size=32, patch_size=8, num_channels=3)
+    model = transformers.ViTModel(cfg)
+    d = str(tmp_path / "tiny_vit")
+    model.save_pretrained(d)
+
+    ex = FeatureExtractor("hf", checkpoint=d)
+    imgs, _ = synthetic_xray_batch(3, 16)   # wrong size/channels on purpose
+    feats = ex.extract(imgs)
+    assert feats.shape == (3, 32)
+    assert np.isfinite(feats).all()
+
+    with pytest.raises(ValueError, match="checkpoint"):
+        FeatureExtractor("hf")
+
+
 # ------------------------------------------------------- plotly 3D HTML ---
 
 def test_thumbnail_data_uri_roundtrip():

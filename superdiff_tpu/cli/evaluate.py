@@ -33,8 +33,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--method", choices=["ddpm", "ddim"], default="ddim")
     p.add_argument("--num-steps", type=int, default=100)
-    p.add_argument("--extractor", choices=["diffusion", "random"],
-                   default="diffusion")
+    p.add_argument("--extractor",
+                   choices=["diffusion", "random", "resnet18",
+                            "densenet121", "hf"],
+                   default="diffusion",
+                   help="feature space for FID. 'diffusion' uses this "
+                        "run's own bottleneck (not comparable across "
+                        "runs); 'random' is a fixed seeded projection; "
+                        "resnet18/densenet121/hf load a local checkpoint "
+                        "(--extractor-checkpoint) shared across runs")
+    p.add_argument("--extractor-checkpoint", default=None,
+                   help="local checkpoint path/dir for "
+                        "resnet18/densenet121/hf extractors")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None,
                    help="write metrics JSON here (default: <run>/eval.json)")
@@ -85,10 +95,14 @@ def main(argv=None) -> int:
         # probe timestep must exist in the run's schedule (the default 100
         # would silently clamp to T-1 and extract noise features for T<=100)
         probe_t = min(100, cfg.training.num_timesteps - 1)
-        ex = (FeatureExtractor("diffusion", params=ema, model=model,
-                               schedule=schedule, timestep=probe_t)
-              if args.extractor == "diffusion"
-              else FeatureExtractor("random"))
+        if args.extractor == "diffusion":
+            ex = FeatureExtractor("diffusion", params=ema, model=model,
+                                  schedule=schedule, timestep=probe_t)
+        elif args.extractor == "random":
+            ex = FeatureExtractor("random")
+        else:
+            ex = FeatureExtractor(args.extractor,
+                                  checkpoint=args.extractor_checkpoint)
         real_batches = dm.device_batches("test", jax.random.PRNGKey(1))
         gen_batches = [{"image": gen[i:i + B],
                         "label": np.zeros(len(gen[i:i + B]), np.int32)}

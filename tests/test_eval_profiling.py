@@ -64,6 +64,35 @@ def test_evaluate_cli_fid_and_stats(trained_run, tree16, tmp_path):
     assert "sample_mean" in res
 
 
+def test_evaluate_cli_shared_pretrained_extractor(trained_run, tree16,
+                                                  tmp_path):
+    """--extractor resnet18 + --extractor-checkpoint gives a feature space
+    shared across runs (cross-run-comparable FID)."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_analysis import _fake_torchvision_resnet18_state_dict
+
+    from superdiff_tpu.cli.evaluate import main
+
+    sd = _fake_torchvision_resnet18_state_dict(seed=7)
+    ckpt = str(tmp_path / "r18.pt")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               ckpt)
+    out = str(tmp_path / "eval3.json")
+    rc = main(["--run-dir", trained_run, "--dataset-root", tree16,
+               "--num-samples", "8", "--batch-size", "8",
+               "--method", "ddim", "--num-steps", "5",
+               "--extractor", "resnet18", "--extractor-checkpoint", ckpt,
+               "--out", out])
+    assert rc == 0
+    res = json.load(open(out))
+    assert res["fid_extractor"] == "resnet18"
+    assert np.isfinite(res["fid"]) and res["fid"] >= 0
+
+
 def test_evaluate_cli_superdiff_logq(trained_run, tmp_path):
     from superdiff_tpu.cli.evaluate import main
 

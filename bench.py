@@ -90,17 +90,28 @@ def measure_torch_cpu_baseline(res: int = RES) -> float:
 
 
 def get_baseline(res: int = RES) -> float:
-    """Torch-CPU reference throughput at the benched resolution (cached
-    per resolution, so --res overrides stay apples-to-apples)."""
+    """Torch-CPU reference throughput at the benched resolution. The cache
+    file keys entries by resolution under "by_resolution" so alternating
+    --res values never re-measure (the legacy single-entry layout is still
+    read)."""
+    data = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             data = json.load(f)
-        if data.get("resolution") == res and data.get("T") == T:
-            return data["torch_cpu_samples_per_sec"]
+        if data.get("T", T) == T:
+            hit = data.get("by_resolution", {}).get(str(res))
+            if hit is not None:
+                return hit
+            if data.get("resolution") == res:    # legacy layout
+                return data["torch_cpu_samples_per_sec"]
     val = measure_torch_cpu_baseline(res)
+    by_res = data.get("by_resolution", {})
+    if data.get("resolution") is not None:       # fold legacy entry in
+        by_res.setdefault(str(data["resolution"]),
+                          data["torch_cpu_samples_per_sec"])
+    by_res[str(res)] = val
     with open(BASELINE_CACHE, "w") as f:
-        json.dump({"resolution": res, "T": T,
-                   "torch_cpu_samples_per_sec": val,
+        json.dump({"T": T, "by_resolution": by_res,
                    "note": "reference-architecture DDPM-1000 sampling, "
                            "PyTorch CPU, extrapolated from per-call time"},
                   f, indent=2)
@@ -146,6 +157,7 @@ def denoiser_flops(model, params, x, t0, y) -> float:
     # pallas_call would be cached by avals inside the kernel's custom_vjp —
     # the CPU retrace then reuses it and fails with "only interpret mode is
     # supported on CPU".
+    prev = os.environ.get("SUPERDIFF_TPU_DISABLE_PALLAS")
     os.environ["SUPERDIFF_TPU_DISABLE_PALLAS"] = "1"
     try:
         try:
@@ -162,7 +174,11 @@ def denoiser_flops(model, params, x, t0, y) -> float:
             log(f"cpu cost_analysis unavailable: {e}")
             return 0.0
     finally:
-        del os.environ["SUPERDIFF_TPU_DISABLE_PALLAS"]
+        # restore, never clobber, the user's documented knob
+        if prev is None:
+            del os.environ["SUPERDIFF_TPU_DISABLE_PALLAS"]
+        else:
+            os.environ["SUPERDIFF_TPU_DISABLE_PALLAS"] = prev
 
 
 def measure_ours(preset: str = PRESET, res: int = RES,

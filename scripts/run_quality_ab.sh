@@ -37,9 +37,20 @@ for P in "${PRESETS[@]}"; do
         --set training.keep_checkpoints=1
     RUN_DIR="data/outputs/TB/experiment_q256_run_$RUN"
     echo "=== evaluating $P ==="
+    # own-model feature space (per-run quality signal)...
     python -m superdiff_tpu.cli.evaluate --run-dir "$RUN_DIR" \
         --dataset-root "$ROOT" --num-samples "$N_EVAL" --batch-size 32 \
         --method ddim --num-steps 100
     cat "$RUN_DIR/eval.json"
+    # ...and ONE fixed extractor shared by every preset — the only FIDs
+    # comparable ACROSS runs (EXTRACTOR=resnet18 EXTRACTOR_CKPT=... for a
+    # pretrained space; default: seeded random projection)
+    python -m superdiff_tpu.cli.evaluate --run-dir "$RUN_DIR" \
+        --dataset-root "$ROOT" --num-samples "$N_EVAL" --batch-size 32 \
+        --method ddim --num-steps 100 \
+        --extractor "${EXTRACTOR:-random}" \
+        ${EXTRACTOR_CKPT:+--extractor-checkpoint "$EXTRACTOR_CKPT"} \
+        --out "$RUN_DIR/eval_shared_extractor.json"
+    cat "$RUN_DIR/eval_shared_extractor.json"
 done
 echo "quality A/B done"

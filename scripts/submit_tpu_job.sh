@@ -14,8 +14,8 @@
 #       [--accelerators "v5litepod-8 v5litepod-4 v4-8"] [--dry-run]
 #
 # --dry-run prints the exact command plan without calling gcloud (used by
-# tests/test_cli_viz.py::test_submit_tpu_job_dry_run; also works on machines
-# without gcloud).
+# tests/test_eval_profiling.py::test_submit_tpu_job_dry_run; also works on
+# machines without gcloud).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -96,14 +96,21 @@ done
 [[ -n "$ACCEPTED" ]] || { echo "error: no accelerator type accepted the job" >&2; exit 1; }
 echo "queued $TPU_NAME ($ACCEPTED); waiting for ACTIVE ..."
 
+# Tolerate transient describe failures: the resource is already queued, so
+# one API blip must not abort the (potentially hours-long) wait and leak it.
 while true; do
-    STATE=$(gcloud compute tpus queued-resources describe "$TPU_NAME" \
-        "${PFLAG[@]+"${PFLAG[@]}"}" --zone "$ZONE" --format='value(state.state)')
-    echo "  state: $STATE"
-    case "$STATE" in
-        ACTIVE) break ;;
-        FAILED|SUSPENDED) echo "error: queued resource $STATE" >&2; exit 1 ;;
-    esac
+    if STATE=$(gcloud compute tpus queued-resources describe "$TPU_NAME" \
+        "${PFLAG[@]+"${PFLAG[@]}"}" --zone "$ZONE" \
+        --format='value(state.state)'); then
+        echo "  state: $STATE"
+        case "$STATE" in
+            ACTIVE) break ;;
+            FAILED|SUSPENDED)
+                echo "error: queued resource $STATE" >&2; exit 1 ;;
+        esac
+    else
+        echo "  describe failed (transient?); retrying" >&2
+    fi
     sleep 30
 done
 

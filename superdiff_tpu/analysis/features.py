@@ -179,9 +179,10 @@ class FeatureExtractor:
         return jax.jit(fn)
 
     def extract(self, images) -> np.ndarray:
-        images = jnp.asarray(images)
         if self.kind in ("torch", "hf"):
+            # host-side extractors: never bounce through the accelerator
             return np.asarray(self._torch_fn(np.asarray(images)))
+        images = jnp.asarray(images)
         if self._jitted is None:
             self._jitted = self._build_fn(images)
         return np.asarray(self._jitted(images))

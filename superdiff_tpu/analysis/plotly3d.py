@@ -62,7 +62,8 @@ def run_plotly_projection_3d_with_thumbnails(
         class_names: Optional[Sequence[str]] = None,
         class_colors: Optional[Sequence[str]] = None,
         thumb_size: int = 64,
-        title: Optional[str] = None) -> str:
+        title: Optional[str] = None,
+        emb: Optional[np.ndarray] = None) -> str:
     """3D projection -> interactive HTML with thumbnail hovers.
 
     ``images=None`` drops the hover thumbnails (plain class-colored
@@ -79,7 +80,8 @@ def run_plotly_projection_3d_with_thumbnails(
             "HTML export, or use run_projection_3d (matplotlib PNG)") from e
 
     labels = np.asarray(labels)
-    emb = _project(np.asarray(features), method, 3)
+    if emb is None:   # caller may pass a precomputed (N, 3) projection
+        emb = _project(np.asarray(features), method, 3)
     colors = class_colors or DEFAULT_CLASS_COLORS
     fig = go.Figure()
     for cls in np.unique(labels):

@@ -162,7 +162,7 @@ def run_projection_3d(features, labels, method: str = "tsne",
 
             run_plotly_projection_3d_with_thumbnails(
                 features, labels, images=None, path=interactive_html,
-                method=method, class_names=class_names)
+                method=method, class_names=class_names, emb=emb)
         except ImportError:
             import logging
 

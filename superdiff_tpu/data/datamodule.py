@@ -26,7 +26,7 @@ class DataModule:
         self.root = dataset_root
         self._indices: Dict[str, ChestXrayIndex] = {}
         self._epochs: Dict[tuple, int] = {}
-        self._decode_caches: Dict[str, dict] = {}
+        self._decode_caches: Dict[tuple, dict] = {}
 
     def index(self, split: str) -> ChestXrayIndex:
         if split not in self._indices:
@@ -61,6 +61,11 @@ class DataModule:
             it = self._native_iterator(split, batch_size, epoch)
             if it is not None:
                 return it
+        # decode-cache key includes every preprocessing knob baked into the
+        # cached arrays — a cfg mutation (dashboard toggles CLAHE, a
+        # resolution change) must not serve stale images
+        cache_key = (split, t.resolution, t.resize_strategy,
+                     t.histogram_equalization)
         return BatchIterator(
             self.index(split),
             batch_size=batch_size,
@@ -69,7 +74,7 @@ class DataModule:
             seed=t.seed + epoch,
             resize_strategy=t.resize_strategy,
             histogram_equalization=t.histogram_equalization,
-            cache=self._decode_caches.setdefault(split, {}),
+            cache=self._decode_caches.setdefault(cache_key, {}),
         )
 
     def _native_iterator(self, split: str, batch_size: int, epoch: int = 0):

@@ -17,7 +17,7 @@ import numpy as np
 
 from superdiff_tpu.diffusion import ddpm_sample
 from superdiff_tpu.diffusion.superdiff import superdiff_sample
-from superdiff_tpu.inference import load_run, make_eps_fn
+from superdiff_tpu.inference import load_run, make_eps_fn_p
 
 
 def compare_runs(run_dir_a: str, run_dir_b: str, out_dir: str,
@@ -39,13 +39,24 @@ def compare_runs(run_dir_a: str, run_dir_b: str, out_dir: str,
 
     shape = (num_samples, R, R, 1)
     rng = jax.random.PRNGKey(seed)
-    fn_a = make_eps_fn(model_a, ema_a)
-    fn_b = make_eps_fn(model_b, ema_b)
+    # params as jit arguments, never closure constants (make_eps_fn_p):
+    # two 256² UNets embedded in one remote-compile request exceed its
+    # size limit (HTTP 413)
+    apply_a = make_eps_fn_p(model_a)
+    apply_b = make_eps_fn_p(model_b)
 
-    xa = ddpm_sample(schedule, fn_a, shape, rng)
-    xb = ddpm_sample(schedule, fn_b, shape, rng)
-    xs, logq = superdiff_sample(schedule, [fn_a, fn_b], shape, rng,
-                                mode=mode)
+    def _single(r, p, applyp):
+        return ddpm_sample(schedule, lambda x, t: applyp(p, x, t),
+                           shape, r)
+
+    def _superposed(r, pa, pb):
+        fns = [lambda x, t: apply_a(pa, x, t),
+               lambda x, t: apply_b(pb, x, t)]
+        return superdiff_sample(schedule, fns, shape, r, mode=mode)
+
+    xa = jax.jit(_single, static_argnums=2)(rng, ema_a, apply_a)
+    xb = jax.jit(_single, static_argnums=2)(rng, ema_b, apply_b)
+    xs, logq = jax.jit(_superposed)(rng, ema_a, ema_b)
 
     rows = [np.asarray(xa), np.asarray(xb), np.asarray(xs)]
     fig, axes = plt.subplots(3, num_samples,

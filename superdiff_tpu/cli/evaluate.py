@@ -62,25 +62,31 @@ def main(argv=None) -> int:
     from superdiff_tpu.diffusion import ddpm_sample, ddim_sample
     from superdiff_tpu.diffusion.superdiff import superdiff_sample
     from superdiff_tpu.inference import (check_superpose_compat, load_run,
-                                         make_eps_fn)
+                                         make_eps_fn_p)
 
     cfg, model, schedule, ema = load_run(args.run_dir)
     R = cfg.training.resolution
     B = args.batch_size
-    fn = make_eps_fn(model, ema)
+    # params stay jit ARGUMENTS (not closure constants) — see
+    # make_eps_fn_p: remote-compile requests must not embed the weights
+    applyp = make_eps_fn_p(model)
     results = {}
 
     # --- generate ---
     shape = (B, R, R, 1)
     if args.method == "ddim":
-        sampler = jax.jit(lambda r: ddim_sample(
-            schedule, fn, shape, r, num_steps=args.num_steps))
+        def _sample(r, p):
+            return ddim_sample(schedule, lambda x, t: applyp(p, x, t),
+                               shape, r, num_steps=args.num_steps)
     else:
-        sampler = jax.jit(lambda r: ddpm_sample(schedule, fn, shape, r))
+        def _sample(r, p):
+            return ddpm_sample(schedule, lambda x, t: applyp(p, x, t),
+                               shape, r)
+    sampler = jax.jit(_sample)
     gen = []
     n_batches = (args.num_samples + B - 1) // B
     for i in range(n_batches):
-        x = sampler(jax.random.PRNGKey(args.seed + i))
+        x = sampler(jax.random.PRNGKey(args.seed + i), ema)
         gen.append(np.asarray(x))
     gen = np.concatenate(gen)[:args.num_samples]
     results["num_generated"] = int(len(gen))
@@ -118,10 +124,16 @@ def main(argv=None) -> int:
         check_superpose_compat(cfg, cfg2)
         # sequential per-model calls: measured faster than the stacked
         # vmap on TPU (see cli/sample.py and scripts/bench_superdiff.py)
-        fns = [fn, make_eps_fn(model2, ema2)]
-        xs, logq = jax.jit(lambda r: superdiff_sample(
-            schedule, fns, shape, r, mode="or", num_models=2))(
-                jax.random.PRNGKey(args.seed))
+        apply2 = make_eps_fn_p(model2)
+
+        def _superposed(r, p1, p2):
+            fns = [lambda x, t: applyp(p1, x, t),
+                   lambda x, t: apply2(p2, x, t)]
+            return superdiff_sample(schedule, fns, shape, r,
+                                    mode="or", num_models=2)
+
+        xs, logq = jax.jit(_superposed)(
+            jax.random.PRNGKey(args.seed), ema, ema2)
         logq = np.asarray(logq)
         results["superdiff"] = {
             "logq_model1_mean": float(logq[0].mean()),

@@ -61,7 +61,7 @@ def main(argv=None) -> int:
     from superdiff_tpu.diffusion import ddpm_sample, ddim_sample
     from superdiff_tpu.diffusion.superdiff import superdiff_sample
     from superdiff_tpu.inference import (check_superpose_compat, load_run,
-                                         make_eps_fn)
+                                         make_eps_fn_p)
     from superdiff_tpu.utils.visualization import save_image_grid
 
     mesh = None
@@ -91,6 +91,19 @@ def main(argv=None) -> int:
         from superdiff_tpu.parallel import shard_sample
         return shard_sample(fn, mesh, with_logq=with_logq)
 
+    def replicate(params):
+        """Params enter the sharded jit as arguments; a checkpoint restore
+        commits them to one device, which conflicts with the multi-device
+        out_shardings — replicate across the mesh explicitly."""
+        if mesh is None:
+            return params
+        from jax.sharding import NamedSharding, PartitionSpec
+        return jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
+
+    # Params are passed as jit ARGUMENTS throughout (make_eps_fn_p):
+    # closing over the weights embeds them in the lowered module, and on
+    # the remote-compile backend a two-model 256² pair (~300 MB of
+    # constants) exceeds the compile-request limit (HTTP 413).
     superpose = args.run_dir2 is not None
     if superpose:
         cfg2, model2, schedule2, ema2 = load_run(args.run_dir2)
@@ -101,30 +114,45 @@ def main(argv=None) -> int:
         # — batching the *weights* turns every conv into an M-kernel
         # batched conv, which XLA lowers worse than two plain convs.
         # stack_eps_fns remains available for architectures where it wins.
-        fns = [make_eps_fn(model, ema, args.label),
-               make_eps_fn(model2, ema2, args.label)]
-        sample_fn = compile_sampler(lambda r: superdiff_sample(
-            schedule, fns, shape, r, mode=args.mode,
-            kappa=list(args.kappa), temperature=args.temperature,
-            num_models=2),
-            with_logq=True)
+        apply1 = make_eps_fn_p(model, args.label)
+        apply2 = make_eps_fn_p(model2, args.label)
+
+        def _superposed(r, p1, p2):
+            fns = [lambda x, t: apply1(p1, x, t),
+                   lambda x, t: apply2(p2, x, t)]
+            return superdiff_sample(
+                schedule, fns, shape, r, mode=args.mode,
+                kappa=list(args.kappa), temperature=args.temperature,
+                num_models=2)
+
+        jitted = compile_sampler(_superposed, with_logq=True)
+        ema, ema2 = replicate(ema), replicate(ema2)
+        sample_fn = lambda r: jitted(r, ema, ema2)
     else:
         if cfg.model.conditional and args.label is not None:
             y = jnp.full((B,), args.label, dtype=jnp.int32)
-            fn = make_eps_fn(model, ema, "per_sample")
+            applyp = make_eps_fn_p(model, "per_sample")
             extra = dict(y=y, guidance_scale=args.guidance,
                          null_label=model.null_label)
         else:
-            fn = make_eps_fn(model, ema, args.label)
+            applyp = make_eps_fn_p(model, args.label)
             extra = {}
+
         if args.method == "ddim":
             steps = args.num_steps or 50
-            sample_fn = compile_sampler(lambda r: ddim_sample(
-                schedule, fn, shape, r, num_steps=steps, eta=args.eta,
-                **extra))
+
+            def _single(r, p):
+                fn = lambda *a: applyp(p, *a)
+                return ddim_sample(schedule, fn, shape, r,
+                                   num_steps=steps, eta=args.eta, **extra)
         else:
-            sample_fn = compile_sampler(lambda r: ddpm_sample(
-                schedule, fn, shape, r, **extra))
+            def _single(r, p):
+                fn = lambda *a: applyp(p, *a)
+                return ddpm_sample(schedule, fn, shape, r, **extra)
+
+        jitted = compile_sampler(_single)
+        ema = replicate(ema)
+        sample_fn = lambda r: jitted(r, ema)
 
     all_batches = []
     for b in range(args.num_batches):

@@ -111,25 +111,42 @@ def same_architecture(cfg: Config, cfg2: Config) -> bool:
     return dataclasses.asdict(cfg.model) == dataclasses.asdict(cfg2.model)
 
 
+def make_eps_fn_p(model, label: Optional[int] = None) -> Callable:
+    """Sampler-facing eps function with params as the FIRST argument:
+    ``fn(params, x, t)`` (or ``fn(params, x, t, y)`` for
+    ``label="per_sample"``).
+
+    Use this form inside ``jax.jit`` so the parameter pytree stays a jit
+    *argument*: closing over params embeds the full weight arrays in the
+    lowered module, and on a remote-compile backend a two-model 256² UNet
+    pair (~300 MB of constants) exceeds the compile-request size limit
+    (HTTP 413). Label semantics as :func:`make_eps_fn`.
+    """
+    conditional = getattr(model, "num_classes", 0) > 0
+    if not conditional:
+        return lambda p, x, t: model.apply(p, x, t)
+    if label == "per_sample":
+        return lambda p, x, t, y: model.apply(p, x, t, y)
+    fixed = model.null_label if label is None else int(label)
+
+    def fn(p, x, t):
+        y = jnp.full((x.shape[0],), fixed, dtype=jnp.int32)
+        return model.apply(p, x, t, y)
+
+    return fn
+
+
 def make_eps_fn(model, params,
                 label: Optional[int] = None) -> Callable:
-    """Build the sampler-facing eps function.
+    """Build the sampler-facing eps function with ``params`` bound.
 
     For conditional models, ``label=None`` means the null (unconditional)
     label; a fixed int broadcasts over the batch. Returns a function with
     the unconditional signature ``(x, t) -> eps`` when ``label`` is bound,
     or the conditional ``(x, t, y)`` when the model is conditional and the
-    caller wants per-sample labels (pass ``label="per_sample"``).
+    caller wants per-sample labels (pass ``label="per_sample"``). Prefer
+    :func:`make_eps_fn_p` under jit (see its note on remote-compile size).
     """
-    conditional = getattr(model, "num_classes", 0) > 0
-    if not conditional:
-        return lambda x, t: model.apply(params, x, t)
-    if label == "per_sample":
-        return lambda x, t, y: model.apply(params, x, t, y)
-    fixed = model.null_label if label is None else int(label)
+    import functools
 
-    def fn(x, t):
-        y = jnp.full((x.shape[0],), fixed, dtype=jnp.int32)
-        return model.apply(params, x, t, y)
-
-    return fn
+    return functools.partial(make_eps_fn_p(model, label), params)

@@ -190,6 +190,15 @@ def test_superdiff_cli_two_runs(tmp_path):
     stack = np.load(os.path.join(out_dir, "samples.npy"))
     assert stack.shape == (2, 16, 16, 1)
 
+    # compare_runs success path (panel + per-model densities) on the same
+    # pair — params enter its jits as arguments (remote-compile size limit)
+    from superdiff_tpu.analysis.compare import compare_runs
+
+    res = compare_runs(run1, run2, str(tmp_path / "cmp"), num_samples=2)
+    assert os.path.getsize(res["panel"]) > 0
+    assert np.isfinite(res["mean_logq_gap"])
+    assert len(res["logq_model_a"]) == 2
+
 
 def test_export_then_sample_from_artifact(tmp_path):
     """Export CLI -> compact npz artifact -> load_run + sample CLI work on

@@ -98,7 +98,13 @@ def get_baseline(res: int = RES) -> float:
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             data = json.load(f)
-        if data.get("T", T) == T:
+        if data.get("T", T) != T:
+            # Entries were measured under a different step count: throw the
+            # whole cache away rather than re-labeling stale numbers with
+            # the new T (they'd silently skew vs_baseline at those
+            # resolutions forever after).
+            data = {}
+        else:
             hit = data.get("by_resolution", {}).get(str(res))
             if hit is not None:
                 return hit
@@ -207,6 +213,13 @@ def measure_ours(preset: str = PRESET, res: int = RES,
     # a computation in this process (Pallas calls refuse CPU lowering in
     # that state); pre-run it works and the count is execution-independent.
     flops_step = denoiser_flops(model, params, x, t0, y)
+
+    # production sampling dtype policy (what cli/sample.py ships): bf16
+    # norm passes + one-time bf16 weight cast — measured +13% on eff256
+    # DDPM-1000 (scripts/bench_r3_variants.py). FLOPs counted above on the
+    # f32 graph (identical op counts).
+    from superdiff_tpu.inference import apply_sampling_policy
+    model, params = apply_sampling_policy(model, params)
 
     schedule = make_schedule(T)
     apply_fn = lambda xx, tt, yy: model.apply(params, xx, tt, yy)

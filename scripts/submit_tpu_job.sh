@@ -58,15 +58,17 @@ PFLAG=()
 
 # Accelerator autoselect: first type in the preference list whose submission
 # the API accepts (quota/capacity errors fall through to the next type) —
-# same first-fit policy as the reference's choose_partition().
-submit_cmd() {
-    echo gcloud compute tpus queued-resources create "$TPU_NAME" \
-        "${PFLAG[@]+"${PFLAG[@]}"}" \
-        --zone "$ZONE" \
-        --accelerator-type "$1" \
-        --runtime-version "$RUNTIME_VERSION" \
-        --node-id "$TPU_NAME" \
-        --best-effort
+# same first-fit policy as the reference's choose_partition(). The command
+# is built as a bash array and executed directly (not word-split from a
+# string), so --project / names containing spaces or glob chars stay intact.
+build_submit_cmd() {
+    SUBMIT_CMD=(gcloud compute tpus queued-resources create "$TPU_NAME"
+        "${PFLAG[@]+"${PFLAG[@]}"}"
+        --zone "$ZONE"
+        --accelerator-type "$1"
+        --runtime-version "$RUNTIME_VERSION"
+        --node-id "$TPU_NAME"
+        --best-effort)
 }
 
 TRAIN_CMD=(scripts/launch_train.sh -e "$EXPERIMENT" -r "$RUN" -d "$DATASET")
@@ -75,7 +77,8 @@ TRAIN_CMD=(scripts/launch_train.sh -e "$EXPERIMENT" -r "$RUN" -d "$DATASET")
 if [[ "$DRY" == 1 ]]; then
     echo "[dry-run] log dir: $LOG_DIR"
     for ACC in $ACCELERATORS; do
-        echo "[dry-run] try: $(submit_cmd "$ACC")"
+        build_submit_cmd "$ACC"
+        echo "[dry-run] try: ${SUBMIT_CMD[*]}"
     done
     echo "[dry-run] wait: gcloud compute tpus queued-resources describe $TPU_NAME --zone $ZONE (until ACTIVE)"
     echo "[dry-run] run:  scripts/tpu_pod_run.sh $TPU_NAME $ZONE -- ${TRAIN_CMD[*]}"
@@ -88,7 +91,8 @@ mkdir -p "$LOG_DIR"
 ACCEPTED=""
 for ACC in $ACCELERATORS; do
     echo "trying accelerator type $ACC ..."
-    if $(submit_cmd "$ACC") >"$LOG_DIR/submit.log" 2>&1; then
+    build_submit_cmd "$ACC"
+    if "${SUBMIT_CMD[@]}" >"$LOG_DIR/submit.log" 2>&1; then
         ACCEPTED="$ACC"; break
     fi
     cat "$LOG_DIR/submit.log" >&2

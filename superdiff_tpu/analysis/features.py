@@ -195,6 +195,15 @@ def _make_hf_vision_fn(checkpoint_dir: str):
     configured input size, and returns the pooled output (pooler_output
     when present, else mean over the last hidden state's tokens) — the
     tensor the reference's BiomedCLIP closure exposes.
+
+    When the checkpoint dir also holds a saved image processor
+    (``preprocessor_config.json``), its normalization statistics
+    (``image_mean``/``image_std``, e.g. the CLIP constants) are applied so
+    features are computed on the input distribution the tower was trained
+    on: inputs are first min-max rescaled per-image into [0, 1] (our
+    pipelines hand over minmax/zscore/tanh-normalized floats, not raw
+    pixels), then standardized channelwise. Without a saved processor the
+    raw floats pass straight through (previous behavior).
     """
     import torch
     from transformers import AutoModel
@@ -203,6 +212,24 @@ def _make_hf_vision_fn(checkpoint_dir: str):
                                       local_files_only=True).eval()
     size = getattr(model.config, "image_size", 224)
     channels = getattr(model.config, "num_channels", 3)
+
+    mean = std = None
+    try:
+        from transformers import AutoImageProcessor
+
+        proc = AutoImageProcessor.from_pretrained(checkpoint_dir,
+                                                  local_files_only=True)
+        if getattr(proc, "image_mean", None) is not None:
+            mean = torch.tensor(proc.image_mean,
+                                dtype=torch.float32).view(1, -1, 1, 1)
+            std = torch.tensor(proc.image_std,
+                               dtype=torch.float32).view(1, -1, 1, 1)
+        psize = getattr(proc, "size", None)
+        if isinstance(psize, dict):
+            size = (psize.get("height") or psize.get("shortest_edge")
+                    or size)
+    except Exception:  # no/unreadable processor config -> raw passthrough
+        pass
 
     @torch.no_grad()
     def fn(images_nhwc: np.ndarray) -> np.ndarray:
@@ -213,6 +240,15 @@ def _make_hf_vision_fn(checkpoint_dir: str):
         if x.shape[-1] != size:
             x = torch.nn.functional.interpolate(
                 x, size=(size, size), mode="bilinear", align_corners=False)
+        if mean is not None:
+            lo = x.amin(dim=(1, 2, 3), keepdim=True)
+            hi = x.amax(dim=(1, 2, 3), keepdim=True)
+            x = (x - lo) / torch.clamp(hi - lo, min=1e-8)
+            m = mean if mean.shape[1] == x.shape[1] else mean.mean(
+                dim=1, keepdim=True)
+            s = std if std.shape[1] == x.shape[1] else std.mean(
+                dim=1, keepdim=True)
+            x = (x - m) / s
         out = model(pixel_values=x)
         pooled = getattr(out, "pooler_output", None)
         if pooled is None:

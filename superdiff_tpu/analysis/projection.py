@@ -19,11 +19,25 @@ import numpy as np
 PROJECTION_METHODS = ("tsne", "umap", "pca")
 
 
+def _standardize(features: np.ndarray) -> np.ndarray:
+    """Per-feature zero-mean/unit-variance scaling before projection — the
+    reference StandardScaler-scales features ahead of t-SNE
+    (``src/visualization/embeddings.py:21-24``); without it un-normalized
+    extractor outputs let a few large-scale dimensions dominate the
+    distance metric. Constant features get std 1 (scaler semantics)."""
+    f = np.asarray(features, dtype=np.float64)
+    mean = f.mean(axis=0, keepdims=True)
+    std = f.std(axis=0, keepdims=True)
+    std[std == 0.0] = 1.0
+    return (f - mean) / std
+
+
 def _project(features: np.ndarray, method: str, n_components: int,
              seed: int = 42) -> np.ndarray:
     if method not in PROJECTION_METHODS:
         raise ValueError(f"unknown projection method {method!r} "
                          f"(have {PROJECTION_METHODS})")
+    features = _standardize(features)
     if method == "tsne":
         from sklearn.manifold import TSNE
 

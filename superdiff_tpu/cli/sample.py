@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="second run dir -> SuperDiff superposition")
     p.add_argument("--step", type=int, default=None,
                    help="checkpoint step (default: latest)")
+    p.add_argument("--best", action="store_true",
+                   help="load the best-validation checkpoint "
+                        "(<checkpoint_dir>_best) instead of the latest")
     p.add_argument("--method", choices=["ddpm", "ddim"], default="ddpm")
     p.add_argument("--num-steps", type=int, default=None,
                    help="DDIM steps (default 50) or DDPM override")
@@ -60,7 +63,8 @@ def main(argv=None) -> int:
 
     from superdiff_tpu.diffusion import ddpm_sample, ddim_sample
     from superdiff_tpu.diffusion.superdiff import superdiff_sample
-    from superdiff_tpu.inference import (check_superpose_compat, load_run,
+    from superdiff_tpu.inference import (apply_sampling_policy,
+                                         check_superpose_compat, load_run,
                                          make_eps_fn_p)
     from superdiff_tpu.utils.visualization import save_image_grid
 
@@ -73,7 +77,12 @@ def main(argv=None) -> int:
         maybe_init_distributed()
         mesh = make_mesh()
 
-    cfg, model, schedule, ema = load_run(args.run_dir, step=args.step)
+    cfg, model, schedule, ema = load_run(args.run_dir, step=args.step,
+                                         best=args.best)
+    # production dtype policy: bf16 norm passes + one-time bf16 weight cast
+    # (+13% eff256 DDPM-1000 on v5e, BASELINE.md round-3 table; opt out
+    # with SUPERDIFF_TPU_SAMPLE_F32=1)
+    model, ema = apply_sampling_policy(model, ema)
     R = cfg.training.resolution
     B = args.batch_size
     shape = (B, R, R, 1)
@@ -108,6 +117,7 @@ def main(argv=None) -> int:
     if superpose:
         cfg2, model2, schedule2, ema2 = load_run(args.run_dir2)
         check_superpose_compat(cfg, cfg2)
+        model2, ema2 = apply_sampling_policy(model2, ema2)
         # Per-model sequential calls inside the one compiled scan: measured
         # FASTER on v5e than vmapping over stacked param pytrees (0.822 vs
         # 0.686 samples/sec at eff256/batch 16, scripts/bench_superdiff.py)

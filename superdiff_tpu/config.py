@@ -92,6 +92,10 @@ class TrainingConfig:
     log_every: int = 1                  # epochs, training_logic.py:43
     vis_every: int = 5                  # epochs, training_logic.py:50
     save_every: int = 1                 # epochs (reference saves each epoch)
+    eval_every: int = 1                 # epochs between val-split passes
+                                        # (0 disables; best-val checkpoint
+                                        # kept in <checkpoint_dir>_best)
+    eval_batches: Optional[int] = None  # cap val batches per pass
     keep_checkpoints: int = 3
     seed: int = 42                      # train.py:48
     num_epochs_warmstart: int = 0

@@ -21,11 +21,64 @@ from superdiff_tpu.models.presets import model_from_config
 from superdiff_tpu.training.state import create_train_state, make_optimizer
 
 
-def load_run(run_dir: str, step: Optional[int] = None
+# Parameter subtrees that stay float32 under the sampling dtype policy:
+# normalization scales/biases (applied in the f32 stats path), the
+# conditioning MLPs (tiny, run once per step at f32), and the zero-init
+# output conv (f32 by model dtype).
+_F32_NAME_TOKENS = ("norm", "time_mlp", "class_emb", "emb_proj", "out_conv")
+
+
+def cast_sampling_params(params, dtype=jnp.bfloat16):
+    """Cast the MXU-facing weights (conv / attention / dense kernels that the
+    model consumes in ``compute_dtype``) to ``dtype`` once, host-side.
+
+    Inside a sampler's ``lax.scan`` the f32->bf16 weight converts otherwise
+    re-read the full f32 parameter set from HBM every step (~150 MB for the
+    256² flagship); casting once outside the scan halves that traffic. Leaves
+    the model consumes at float32 (see ``_F32_NAME_TOKENS``) are untouched,
+    so numerics of the f32 sub-paths are bit-identical.
+    """
+    def _cast(path, leaf):
+        names = [str(getattr(p, "key", "")) for p in path]
+        if any(tok in n for n in names for tok in _F32_NAME_TOKENS):
+            return leaf
+        if leaf.dtype == jnp.float32:
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(_cast, params)
+
+
+def inference_model(model):
+    """Clone ``model`` with the inference dtype policy (bfloat16 norm passes;
+    flax still reduces the statistics in float32). No-op for models without
+    the knob (RefUNet) or when ``SUPERDIFF_TPU_SAMPLE_F32`` is set."""
+    if os.environ.get("SUPERDIFF_TPU_SAMPLE_F32"):
+        return model
+    if hasattr(model, "norm_dtype"):
+        return model.clone(norm_dtype=jnp.bfloat16)
+    return model
+
+
+def apply_sampling_policy(model, params):
+    """The production sampling configuration: bf16 norm passes + one-time
+    bf16 weight cast. Measured on a v5e chip (scripts/bench_r3_variants.py,
+    BASELINE.md round-3 table): eff256 DDPM-1000 1.60 -> 1.84 samples/sec,
+    attn256 1.18 -> 1.28. Opt out with ``SUPERDIFF_TPU_SAMPLE_F32=1``
+    (exact f32 norm numerics)."""
+    if os.environ.get("SUPERDIFF_TPU_SAMPLE_F32"):
+        return model, params
+    return inference_model(model), cast_sampling_params(params)
+
+
+def load_run(run_dir: str, step: Optional[int] = None, best: bool = False
              ) -> Tuple[Config, object, DiffusionSchedule, dict]:
     """Load ``(cfg, model, schedule, ema_params)`` from a training run dir
     (``config.yaml`` + ``checkpoints/``) or from an exported inference
     artifact (``config.yaml`` + ``ema_params.npz``, see ``cli/export.py``).
+
+    ``best=True`` loads from the best-validation checkpoint the training
+    loop tags (``<checkpoint_dir>_best``) instead of the latest step.
     """
     cfg_path = os.path.join(run_dir, "config.yaml")
     if not os.path.exists(cfg_path):
@@ -38,6 +91,13 @@ def load_run(run_dir: str, step: Optional[int] = None
 
     export_path = os.path.join(run_dir, "ema_params.npz")
     ckpt_dir = os.path.join(run_dir, cfg.paths.checkpoint_dir)
+    if best:
+        best_dir = ckpt_dir + "_best"
+        if not os.path.isdir(best_dir):
+            raise FileNotFoundError(
+                f"no best-val checkpoint in {run_dir} (train with "
+                "training.eval_every > 0 to tag one)")
+        ckpt_dir = best_dir
     if os.path.exists(export_path) and not os.path.isdir(ckpt_dir):
         if step is not None:
             raise ValueError(

@@ -31,7 +31,7 @@ from superdiff_tpu.models.presets import (
     model_from_config, preset_for_resolution)
 from superdiff_tpu.parallel import make_mesh, shard_batch
 from superdiff_tpu.training.state import create_train_state, make_optimizer
-from superdiff_tpu.training.steps import make_train_step
+from superdiff_tpu.training.steps import make_eval_step, make_train_step
 from superdiff_tpu.utils.env import resolve_paths, set_global_seeds
 from superdiff_tpu.utils.logger import init_logger
 from superdiff_tpu.utils.metrics import MetricsLogger
@@ -126,6 +126,45 @@ def train(cfg: Config,
                               null_label=getattr(model, "null_label", 0),
                               loss_type=t.loss_type)
 
+    # validation: EMA loss on the val split every eval_every epochs; the
+    # best-val step is checkpointed separately so a late-training regression
+    # (e.g. the 400-epoch 256² overfit, BASELINE.md) never evicts the best
+    # model. Closes the intent of the reference's dangling writers
+    # (src/train.py:58-61 creates a SummaryWriter that never sees a scalar).
+    eval_fn = make_eval_step(schedule, mesh=mesh, conditional=conditional,
+                             loss_type=t.loss_type) if t.eval_every > 0 \
+        else None
+
+    def _val_batches():
+        """Fixed-content validation stream (constant seed -> the same
+        batches every pass, so val curves are comparable across epochs)."""
+        if dm is not None:
+            try:
+                dm.index("val")
+            except (FileNotFoundError, ValueError):
+                return None
+            return dm.device_batches("val", jax.random.PRNGKey(t.seed + 1))
+        return _synthetic_batches(cfg, epoch=1_000_003)
+
+    def run_validation() -> Optional[float]:
+        batches = _val_batches()
+        if batches is None:
+            return None
+        losses = []
+        for j, vb in enumerate(batches):
+            if t.eval_batches and j >= t.eval_batches:
+                break
+            if vb["image"].shape[0] != B:
+                continue  # partial tail batch: keep one compiled shape
+            if mesh is not None:
+                vb = shard_batch(vb, mesh)
+            if not conditional:
+                vb = {"image": vb["image"]}
+            losses.append(eval_fn(state, vb))
+        if not losses:
+            return None
+        return float(np.mean(jax.device_get(losses)))
+
     # checkpointing / resume
     ckpt = CheckpointManager(paths.checkpoint_dir,
                              max_to_keep=t.keep_checkpoints)
@@ -172,6 +211,9 @@ def train(cfg: Config,
     last_real = None
     summary: Dict[str, float] = {}
     stopped = False
+    best_val = float("inf")
+    best_val_step = -1
+    ckpt_best: Optional[CheckpointManager] = None
     try:
         for epoch in range(start_epoch, t.num_epochs):
             epoch_losses = []
@@ -231,6 +273,32 @@ def train(cfg: Config,
                              "images_per_sec": imgs_per_sec,
                              "grad_norm": float(m["grad_norm"])})
 
+            if eval_fn is not None and (epoch + 1) % t.eval_every == 0:
+                val_loss = run_validation()
+                if val_loss is not None:
+                    improved = val_loss < best_val
+                    metrics_log.log(int(state.step),
+                                    {"epoch": epoch + 1,
+                                     "val_loss": val_loss,
+                                     "best_val_loss": min(val_loss,
+                                                          best_val)})
+                    if (epoch + 1) % t.log_every == 0:
+                        logger.info("epoch %d: val_loss=%.4f%s", epoch + 1,
+                                    val_loss, " (best)" if improved else "")
+                    if improved:
+                        best_val, best_val_step = val_loss, int(state.step)
+                        if ckpt_best is None:
+                            ckpt_best = CheckpointManager(
+                                paths.checkpoint_dir + "_best",
+                                max_to_keep=1)
+                        ckpt_best.save(state, force=True)
+                        import json
+                        with open(os.path.join(paths.output_dir,
+                                               "best_val.json"), "w") as f:
+                            json.dump({"step": best_val_step,
+                                       "epoch": epoch + 1,
+                                       "val_loss": best_val}, f)
+
             if (epoch + 1) % t.save_every == 0:
                 ckpt.save(state)
 
@@ -270,6 +338,10 @@ def train(cfg: Config,
             avg if not stopped else float(np.mean(epoch_losses)))
     ckpt.save(state, force=True)
     ckpt.close()
+    if ckpt_best is not None:
+        ckpt_best.close()
+        summary["best_val_loss"] = best_val
+        summary["best_val_step"] = float(best_val_step)
     metrics_log.close()
     summary["steps"] = int(state.step)
     summary["stopped_early"] = float(stopped)

@@ -1,0 +1,94 @@
+"""Validation-split wiring: val_loss curves + best-val checkpoint tagging.
+
+The reference's val split is produced by its splitter but never consumed
+(``src/train/training_logic.py`` has no eval pass; the TensorBoard writer
+of ``src/train.py:58-61`` never receives a scalar). The loop here runs
+``make_eval_step`` on the val split every ``training.eval_every`` epochs and
+keeps the best-val step in ``<checkpoint_dir>_best`` — the guard that would
+have caught the 400-epoch 256² overfit (BASELINE.md) during the run.
+"""
+
+import json
+import os
+
+from superdiff_tpu.checkpoint import CheckpointManager
+from superdiff_tpu.config import Config
+from superdiff_tpu.training.loop import train
+
+
+def _cfg(tmp_path, epochs=3):
+    cfg = Config()
+    cfg.experiment_id, cfg.run_id = "v", "0"
+    cfg.paths.local_base = str(tmp_path)
+    cfg.training.batch_size = 8
+    cfg.training.resolution = 16
+    cfg.training.num_epochs = epochs
+    cfg.training.num_timesteps = 50
+    cfg.training.steps_per_epoch = 2
+    cfg.training.vis_every = 100
+    cfg.training.eval_every = 1
+    cfg.training.eval_batches = 1
+    cfg.model.preset = "small64"
+    cfg.model.base_channels = 8
+    cfg.model.num_classes = 2
+    return cfg
+
+
+def test_val_loss_logged_and_best_checkpoint_tagged(tmp_path):
+    cfg = _cfg(tmp_path)
+    summary = train(cfg, use_synthetic=True)
+    out = os.path.join(str(tmp_path), "outputs", "PNEUMONIA",
+                       "experiment_v_run_0")
+
+    # val curve reaches the metrics sink
+    vals = {}
+    with open(os.path.join(out, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "val_loss" in rec:
+                vals[rec["step"]] = rec["val_loss"]
+    assert len(vals) == 3, vals
+
+    # the tagged best step is the argmin of the logged val curve
+    best_step = min(vals, key=vals.get)
+    with open(os.path.join(out, "best_val.json")) as f:
+        tagged = json.load(f)
+    assert tagged["step"] == best_step
+    assert abs(tagged["val_loss"] - vals[best_step]) < 1e-9
+    assert summary["best_val_step"] == best_step
+    assert summary["best_val_loss"] == vals[best_step]
+
+    # a val regression never evicts the best checkpoint: the _best manager
+    # holds exactly the argmin step even when later epochs regressed
+    best_dir = os.path.join(out, "checkpoints_best")
+    assert os.path.isdir(best_dir)
+    mngr = CheckpointManager(best_dir, max_to_keep=1)
+    assert mngr.latest_step() == best_step
+    mngr.close()
+
+
+def test_eval_disabled(tmp_path):
+    cfg = _cfg(tmp_path, epochs=1)
+    cfg.training.eval_every = 0
+    summary = train(cfg, use_synthetic=True)
+    out = os.path.join(str(tmp_path), "outputs", "PNEUMONIA",
+                       "experiment_v_run_0")
+    assert "best_val_loss" not in summary
+    assert not os.path.exists(os.path.join(out, "checkpoints_best"))
+    with open(os.path.join(out, "metrics.jsonl")) as f:
+        assert not any("val_loss" in json.loads(l) for l in f)
+
+
+def test_load_run_best(tmp_path):
+    """``load_run(best=True)`` restores from the tagged best-val step."""
+    from superdiff_tpu.inference import load_run
+
+    cfg = _cfg(tmp_path, epochs=2)
+    train(cfg, use_synthetic=True)
+    out = os.path.join(str(tmp_path), "outputs", "PNEUMONIA",
+                       "experiment_v_run_0")
+    cfg2, model, schedule, ema = load_run(out, best=True)
+    assert ema is not None
+    with open(os.path.join(out, "best_val.json")) as f:
+        tagged = json.load(f)
+    assert tagged["step"] in (2, 4)

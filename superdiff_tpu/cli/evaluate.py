@@ -61,15 +61,21 @@ def main(argv=None) -> int:
         FeatureExtractor, compute_fid)
     from superdiff_tpu.diffusion import ddpm_sample, ddim_sample
     from superdiff_tpu.diffusion.superdiff import superdiff_sample
-    from superdiff_tpu.inference import (check_superpose_compat, load_run,
+    from superdiff_tpu.inference import (apply_sampling_policy,
+                                         check_superpose_compat, load_run,
                                          make_eps_fn_p)
 
     cfg, model, schedule, ema = load_run(args.run_dir)
     R = cfg.training.resolution
     B = args.batch_size
+    # Sampling runs under the production dtype policy (bf16 norms + bf16
+    # weight cast — what cli/sample.py ships, so FID measures production
+    # samples); the FEATURE path below stays on the original f32
+    # model/params so feature spaces remain comparable across runs.
+    s_model, s_ema = apply_sampling_policy(model, ema)
     # params stay jit ARGUMENTS (not closure constants) — see
     # make_eps_fn_p: remote-compile requests must not embed the weights
-    applyp = make_eps_fn_p(model)
+    applyp = make_eps_fn_p(s_model)
     results = {}
 
     # --- generate ---
@@ -86,7 +92,7 @@ def main(argv=None) -> int:
     gen = []
     n_batches = (args.num_samples + B - 1) // B
     for i in range(n_batches):
-        x = sampler(jax.random.PRNGKey(args.seed + i), ema)
+        x = sampler(jax.random.PRNGKey(args.seed + i), s_ema)
         gen.append(np.asarray(x))
     gen = np.concatenate(gen)[:args.num_samples]
     results["num_generated"] = int(len(gen))
@@ -122,9 +128,10 @@ def main(argv=None) -> int:
     if args.run_dir2:
         cfg2, model2, schedule2, ema2 = load_run(args.run_dir2)
         check_superpose_compat(cfg, cfg2)
+        s_model2, s_ema2 = apply_sampling_policy(model2, ema2)
         # sequential per-model calls: measured faster than the stacked
         # vmap on TPU (see cli/sample.py and scripts/bench_superdiff.py)
-        apply2 = make_eps_fn_p(model2)
+        apply2 = make_eps_fn_p(s_model2)
 
         def _superposed(r, p1, p2):
             fns = [lambda x, t: applyp(p1, x, t),
@@ -133,7 +140,7 @@ def main(argv=None) -> int:
                                     mode="or", num_models=2)
 
         xs, logq = jax.jit(_superposed)(
-            jax.random.PRNGKey(args.seed), ema, ema2)
+            jax.random.PRNGKey(args.seed), s_ema, s_ema2)
         logq = np.asarray(logq)
         results["superdiff"] = {
             "logq_model1_mean": float(logq[0].mean()),

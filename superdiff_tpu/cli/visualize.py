@@ -50,7 +50,8 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from superdiff_tpu.diffusion import ddpm_sample
-    from superdiff_tpu.inference import load_run, make_eps_fn
+    from superdiff_tpu.inference import (apply_sampling_policy, load_run,
+                                         make_eps_fn)
     from superdiff_tpu.utils.visualization import (
         save_real_vs_generated, save_reverse_trajectory_strip,
         save_forward_diffusion_strip, save_image_grid)
@@ -59,7 +60,10 @@ def main(argv=None) -> int:
     os.makedirs(out, exist_ok=True)
     cfg, model, schedule, ema = load_run(args.run_dir)
     R = cfg.training.resolution
-    fn = make_eps_fn(model, ema)
+    # sampling under the production dtype policy; the feature-extraction
+    # path below keeps the original f32 model/params (comparable features)
+    s_model, s_ema = apply_sampling_policy(model, ema)
+    fn = make_eps_fn(s_model, s_ema)
     rng = jax.random.PRNGKey(args.seed)
     shape = (args.num_samples, R, R, 1)
 

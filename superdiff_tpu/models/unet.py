@@ -56,9 +56,10 @@ class CondUNet(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     groups: int = 32
     pixel_shuffle: int = 1
-    fused_norm: bool = False  # opt-in Pallas GN+FiLM+SiLU (ops/fused_norm):
-                              # wins in isolation, loses end-to-end (see
-                              # ops/fused_norm.py docstring)
+    norm_dtype: jnp.dtype = jnp.float32  # inference-time lever: bf16 norms
+                                         # halve norm-pass HBM traffic (stats
+                                         # still reduce in f32); params stay
+                                         # f32 so checkpoints are unchanged
 
     @property
     def null_label(self) -> int:
@@ -94,12 +95,13 @@ class CondUNet(nn.Module):
             ch = self.base_channels * mult
             for block in range(self.num_res_blocks):
                 h = ResBlock(ch, compute_dtype=cd, groups=self.groups,
-                             fused_norm=self.fused_norm,
+                             norm_dtype=self.norm_dtype,
                              dropout=self.dropout,
                              name=f"down_{level}_block_{block}")(
                                  h, emb, deterministic)
                 if resolution in self.attn_resolutions:
                     h = SelfAttention2D(self.num_heads, compute_dtype=cd,
+                                        norm_dtype=self.norm_dtype,
                                         name=f"down_{level}_attn_{block}")(h)
                 skips.append(h)
             if level != len(self.channel_mults) - 1:
@@ -111,13 +113,14 @@ class CondUNet(nn.Module):
         # --- middle ---
         mid_ch = self.base_channels * self.channel_mults[-1]
         h = ResBlock(mid_ch, compute_dtype=cd, groups=self.groups,
-                     fused_norm=self.fused_norm,
+                     norm_dtype=self.norm_dtype,
                      dropout=self.dropout, name="mid_block_0")(
                          h, emb, deterministic)
         h = SelfAttention2D(self.num_heads, compute_dtype=cd,
+                                        norm_dtype=self.norm_dtype,
                             name="mid_attn")(h)
         h = ResBlock(mid_ch, compute_dtype=cd, groups=self.groups,
-                     fused_norm=self.fused_norm,
+                     norm_dtype=self.norm_dtype,
                      dropout=self.dropout, name="mid_block_1")(
                          h, emb, deterministic)
 
@@ -128,12 +131,13 @@ class CondUNet(nn.Module):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip.astype(cd)], axis=-1)
                 h = ResBlock(ch, compute_dtype=cd, groups=self.groups,
-                             fused_norm=self.fused_norm,
+                             norm_dtype=self.norm_dtype,
                              dropout=self.dropout,
                              name=f"up_{level}_block_{block}")(
                                  h, emb, deterministic)
                 if resolution in self.attn_resolutions:
                     h = SelfAttention2D(self.num_heads, compute_dtype=cd,
+                                        norm_dtype=self.norm_dtype,
                                         name=f"up_{level}_attn_{block}")(h)
             if level != 0:
                 h = Upsample(compute_dtype=cd,
@@ -142,8 +146,8 @@ class CondUNet(nn.Module):
         assert not skips
 
         h = nn.GroupNorm(num_groups=num_groups_for(h.shape[-1], self.groups),
-                         epsilon=1e-5, dtype=jnp.float32,
-                         name="out_norm")(h.astype(jnp.float32))
+                         epsilon=1e-5, dtype=self.norm_dtype,
+                         name="out_norm")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels * p * p, (3, 3), dtype=jnp.float32,
                     kernel_init=nn.initializers.zeros, name="out_conv")(h)

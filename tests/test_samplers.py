@@ -178,6 +178,32 @@ def test_shard_sample_superdiff_logq(schedule, rng, devices8):
                                rtol=1e-5, atol=1e-4)
 
 
+def test_shard_sample_superdiff_and_mode(schedule, rng, devices8):
+    """AND mode's closed-form per-step kappa solve under data-parallel
+    sharding (VERDICT r2 #7): the solve is per-sample, so the cumulative
+    density gap must close on every shard and match the single-device run.
+    """
+    from superdiff_tpu.diffusion.superdiff import superdiff_sample
+    from superdiff_tpu.parallel import make_mesh, shard_sample, DATA_AXIS
+
+    mesh = make_mesh(8)
+    shape = (8, 8, 8, 1)
+    model2 = lambda x, t: 0.2 * x
+    fn = lambda r: superdiff_sample(schedule, [linear_model, model2],
+                                    shape, r, mode="and")
+    xs, logq = shard_sample(fn, mesh, with_logq=True)(rng)
+    assert xs.sharding.spec[0] == DATA_AXIS
+    assert logq.sharding.spec[1] == DATA_AXIS
+    # the kappa feedback equalizes cumulative densities per sample
+    gap = np.abs(np.asarray(logq[0] - logq[1]))
+    assert gap.max() < 1e-2, gap
+    x0, l0 = jax.jit(fn)(rng)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(x0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(logq), np.asarray(l0),
+                               rtol=1e-5, atol=1e-4)
+
+
 # (the --data-parallel CLI rejection path is covered end-to-end in
 # tests/test_checkpoint_loop.py::test_sample_cli_from_trained_run)
 

@@ -67,6 +67,46 @@ def test_flash_gradient_fallback(rng):
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("S,D", [(256, 64), (1024, 32)])
+def test_flash_pallas_backward_parity(rng, monkeypatch, S, D):
+    """The Pallas backward kernels (dq + dk/dv, recomputation from lse)
+    must match XLA attention grads — incl. the multi-block case (S=1024:
+    4 Q blocks x 2 K blocks) where the accumulator carries span the grid.
+    """
+    monkeypatch.setenv("SUPERDIFF_TPU_FLASH_BWD", "pallas")
+    q, k, v = _rand_qkv(rng, S=S, D=D)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_xla, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+            err_msg=f"d{name} mismatch")
+
+
+def test_flash_forward_lse(rng):
+    """The forward's logsumexp residual must equal the true row-wise
+    logsumexp of the scaled score matrix (backward recomputes p from it)."""
+    from superdiff_tpu.ops.flash_attention import _flash_forward, _to_bh
+
+    q, k, v = _rand_qkv(rng, S=512, D=32)
+    with pltpu.force_tpu_interpret_mode():
+        out, lse = _flash_forward(q, k, v)
+    qb, kb = np.asarray(_to_bh(q)), np.asarray(_to_bh(k))
+    scores = np.einsum("bqd,bkd->bqk", qb, kb) / np.sqrt(32)
+    m = scores.max(-1)
+    expect = m + np.log(np.exp(scores - m[..., None]).sum(-1))
+    np.testing.assert_allclose(np.asarray(lse), expect,
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_dispatch_uses_xla_on_cpu(rng):
     """On the CPU test backend the dispatcher must take the XLA path."""
     q, k, v = _rand_qkv(rng, S=2048, D=64)

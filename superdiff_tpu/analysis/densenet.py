@@ -75,6 +75,12 @@ def convert_torch_densenet121(state_dict, grayscale: bool = True) -> Dict:
             params[f"transition{i}"] = {"norm": bn(f"{t}.norm"),
                                         "conv": conv(f"{t}.conv.weight")}
     params["norm5"] = bn("features.norm5")
+    if "classifier.weight" in state_dict:
+        # keep the classifier head when present (torchvision/CheXNet
+        # checkpoints ship one) — Grad-CAM targets its logits
+        params["classifier"] = {
+            "kernel": jnp.asarray(arr("classifier.weight", 2).T),
+            "bias": jnp.asarray(arr("classifier.bias", 1))}
     return params
 
 
@@ -110,14 +116,9 @@ def _dense_layer(x, p):
     return jnp.concatenate([x, h], axis=-1)
 
 
-def densenet121_features(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    """``(B, H, W, 1) -> (B, 1024)`` pooled features, pure JAX.
-
-    Matches torchvision's DenseNet121 graph: 7x7/2 stem + BN/ReLU + 3x3/2
-    maxpool, four dense blocks with 2x2 average-pool transitions, then
-    ``relu(norm5)`` and global average pooling — the feature tensor the
-    reference's CheXNet closure returns.
-    """
+def densenet121_feature_map(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """``(B, H, W, 1) -> (B, h, w, 1024)`` — ``relu(norm5)`` BEFORE the
+    global pool, the DenseNet Grad-CAM target (last conv features)."""
     h = jax.nn.relu(_bn(_conv(x, params["conv0"], 2, 3), params["norm0"]))
     h = jax.lax.reduce_window(
         h, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
@@ -131,5 +132,27 @@ def densenet121_features(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
             h = jax.lax.reduce_window(
                 h, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
                 "VALID") / 4.0
-    h = jax.nn.relu(_bn(h, params["norm5"]))
-    return jnp.mean(h, axis=(1, 2))
+    return jax.nn.relu(_bn(h, params["norm5"]))
+
+
+def densenet121_features(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """``(B, H, W, 1) -> (B, 1024)`` pooled features, pure JAX.
+
+    Matches torchvision's DenseNet121 graph: 7x7/2 stem + BN/ReLU + 3x3/2
+    maxpool, four dense blocks with 2x2 average-pool transitions, then
+    ``relu(norm5)`` and global average pooling — the feature tensor the
+    reference's CheXNet closure returns.
+    """
+    return jnp.mean(densenet121_feature_map(params, x), axis=(1, 2))
+
+
+def densenet121_logits(params: Dict, feature_map: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Classifier head on a feature map: global average pool + classifier.
+    Requires a checkpoint converted WITH its ``classifier`` head."""
+    if "classifier" not in params:
+        raise KeyError("checkpoint was converted without its classifier "
+                       "head — Grad-CAM needs the logits")
+    pooled = jnp.mean(feature_map, axis=(1, 2))
+    return (pooled @ params["classifier"]["kernel"]
+            + params["classifier"]["bias"])

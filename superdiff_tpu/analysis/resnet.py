@@ -81,6 +81,12 @@ def convert_torch_resnet18(state_dict, grayscale: bool = True) -> Dict:
                 blk["down_bn"] = bn(f"{p}.downsample.1")
             layer.append(blk)
         params[name] = layer
+    if "fc.weight" in state_dict:
+        # keep the classifier head when the checkpoint has one — Grad-CAM
+        # differentiates a logit of THIS head w.r.t. the layer4 map, the
+        # reference's target (src/visualization/gradcam.py:11-15)
+        params["fc"] = {"kernel": jnp.asarray(arr("fc.weight", 2).T),
+                        "bias": jnp.asarray(arr("fc.bias", 1))}
     return params
 
 
@@ -120,12 +126,10 @@ def _basic_block(x, blk, stride):
     return jax.nn.relu(h + x)
 
 
-def resnet18_features(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    """``(B, H, W, 1) -> (B, 512)`` pooled features (pre-fc), pure JAX.
-
-    Matches torchvision's resnet18 graph: 7x7/2 stem, 3x3/2 maxpool, four
-    2-block stages, global average pool.
-    """
+def resnet18_feature_map(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """``(B, H, W, 1) -> (B, h, w, 512)`` — the layer4 output BEFORE the
+    global pool: the reference's Grad-CAM hook target
+    (``src/visualization/gradcam.py:15`` hooks ``model.layer4``)."""
     h = jax.nn.relu(_bn(_conv(x, params["conv1"], 2, 3), params["bn1"]))
     h = jax.lax.reduce_window(
         h, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
@@ -133,4 +137,24 @@ def resnet18_features(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     for name, _, _, stride in _LAYERS:
         for b, blk in enumerate(params[name]):
             h = _basic_block(h, blk, stride if b == 0 else 1)
-    return jnp.mean(h, axis=(1, 2))
+    return h
+
+
+def resnet18_features(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """``(B, H, W, 1) -> (B, 512)`` pooled features (pre-fc), pure JAX.
+
+    Matches torchvision's resnet18 graph: 7x7/2 stem, 3x3/2 maxpool, four
+    2-block stages, global average pool.
+    """
+    return jnp.mean(resnet18_feature_map(params, x), axis=(1, 2))
+
+
+def resnet18_logits(params: Dict, feature_map: jnp.ndarray) -> jnp.ndarray:
+    """Classifier head on a layer4 feature map: global average pool + fc.
+    Requires a checkpoint converted WITH its ``fc`` (see
+    :func:`convert_torch_resnet18`)."""
+    if "fc" not in params:
+        raise KeyError("checkpoint was converted without its fc head — "
+                       "Grad-CAM needs the classifier logits")
+    pooled = jnp.mean(feature_map, axis=(1, 2))
+    return pooled @ params["fc"]["kernel"] + params["fc"]["bias"]

@@ -29,6 +29,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split", default="train")
     p.add_argument("--out", default="inspect_out")
     p.add_argument("--max-samples", type=int, default=120)
+    p.add_argument("--gradcam-backbone", default=None,
+                   choices=["resnet18", "densenet121"],
+                   help="CAM a pretrained backbone (reference behavior: "
+                        "src/visualization/gradcam.py CAMs ResNet18 "
+                        "layer4) instead of the in-framework classifier; "
+                        "needs --gradcam-checkpoint")
+    p.add_argument("--gradcam-checkpoint", default=None,
+                   help="local torchvision-format state-dict (.pt/.npz) "
+                        "WITH its classifier head")
     p.add_argument("--set", dest="overrides", action="append", default=[])
     return p
 
@@ -144,11 +153,23 @@ def main(argv=None) -> int:
                 print(f"skipped plotly HTML: {e}")
 
     if cfg.viz.gradcam:
-        model, params, metrics = train_classifier(batches, num_steps=150)
-        print(f"classifier for CAM: acc={metrics['final_acc']:.2f}")
-        paths = run_gradcam(model, params, images[:8],
-                            os.path.join(args.out, "gradcam"),
-                            class_names=idx.classes)
+        if args.gradcam_backbone:
+            if not args.gradcam_checkpoint:
+                print("--gradcam-backbone needs --gradcam-checkpoint",
+                      file=sys.stderr)
+                return 2
+            from superdiff_tpu.analysis.gradcam import run_gradcam_backbone
+
+            paths = run_gradcam_backbone(
+                args.gradcam_backbone, args.gradcam_checkpoint, images[:8],
+                os.path.join(args.out, "gradcam"))
+        else:
+            model, params, metrics = train_classifier(batches,
+                                                      num_steps=150)
+            print(f"classifier for CAM: acc={metrics['final_acc']:.2f}")
+            paths = run_gradcam(model, params, images[:8],
+                                os.path.join(args.out, "gradcam"),
+                                class_names=idx.classes)
         print(f"wrote {len(paths)} gradcam overlays")
 
     return 0

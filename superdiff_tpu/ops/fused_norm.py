@@ -26,15 +26,19 @@ Backward falls back to the XLA reference implementation via
 hot loop — is grad-free). Use ``fused_groupnorm_silu(..., force="xla")`` to
 bypass, ``force="pallas"`` + ``interpret=True`` for CPU parity tests.
 
-Measured status (v5e, 2026-08): the kernel beats the equivalent standalone
-XLA subgraph ~2x in isolation (2.3 ms vs 4.6 ms for (16,128,128,64) bf16
-incl. dispatch overhead), but *loses end-to-end inside the UNet* — eff256
-DDPM sampling goes 10.4 -> 19.7 ms/step with it enabled, because the opaque
-custom call pins operand layouts (copies appear around every call) and
-breaks XLA's producer/consumer fusion with the surrounding convolutions.
-It therefore ships OFF by default (``CondUNet.fused_norm=False``) as an
-opt-in; the dispatch, parity tests and VJP stay so future XLA/Mosaic
-versions (or standalone-norm workloads) can flip it on cheaply.
+Measured status (v5e, 2026-08, round 2): the kernel beats the equivalent
+standalone XLA subgraph ~2x in isolation (2.3 ms vs 4.6 ms for
+(16,128,128,64) bf16 incl. dispatch overhead), but *loses end-to-end
+inside the UNet* — eff256 DDPM sampling goes 10.4 -> 19.7 ms/step with it
+enabled, because the opaque custom call pins operand layouts (copies
+appear around every call) and breaks XLA's producer/consumer fusion with
+the surrounding convolutions. Round 3 resolved this (VERDICT r2 #8): the
+norm-pass HBM saving the kernel was after is captured INSIDE XLA's own
+fusion by the bf16 ``norm_dtype`` inference policy (+15% end-to-end,
+BASELINE.md round-3 table), so the CondUNet no longer carries a dispatch
+branch for this kernel at all. The op remains a standalone, parity-tested
+building block (``models.layers.GroupNormSiLU`` wraps it) for
+standalone-norm workloads where no conv fusion is at stake.
 """
 
 from __future__ import annotations

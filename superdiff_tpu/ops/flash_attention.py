@@ -87,8 +87,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
         o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
-        lse = m_scr[:, :1] + jnp.log(l_scr[:, :1])       # (BQ, 1)
-        lse_ref[:] = lse.reshape(1, -1)                  # -> (1, BQ)
+        # lse carried as (BH, S, 1): a (1, BQ) block would violate the
+        # Mosaic tiling rule (sublane dim of the block must be 8-divisible
+        # or equal the array dim); with the trailing singleton the block is
+        # (1, BQ, 1) -> last two dims (BQ, 1) are (8-divisible, ==array).
+        lse_ref[0] = m_scr[:, :1] + jnp.log(l_scr[:, :1])   # (BQ, 1)
 
 
 def _pick_blocks(S: int):
@@ -119,9 +122,9 @@ def _from_bh(a, B, H):
 
 
 def _flash_forward(q, k, v):
-    """Returns ``(out (B,S,H,D), lse (B*H, S) f32)`` — lse is the per-row
-    logsumexp of the scaled scores, the residual the backward kernels need
-    to recompute probability blocks."""
+    """Returns ``(out (B,S,H,D), lse (B*H, S, 1) f32)`` — lse is the
+    per-row logsumexp of the scaled scores, the residual the backward
+    kernels need to recompute probability blocks."""
     B, S, H, D = q.shape
     scale = 1.0 / math.sqrt(D)
 
@@ -144,12 +147,12 @@ def _flash_forward(q, k, v):
         out_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, qi, ki: (b, qi),
+            pl.BlockSpec((1, block_q, 1), lambda b, qi, ki: (b, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * H, S, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, S), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, S, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),   # running max
@@ -180,8 +183,8 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0]                                         # (BK, D)
     v = v_ref[0]                                         # (BK, D)
     do = do_ref[0]                                       # (BQ, D)
-    lse = lse_ref[:].reshape(-1, 1)                      # (BQ, 1) f32
-    delta = delta_ref[:].reshape(-1, 1)                  # (BQ, 1) f32
+    lse = lse_ref[0]                                     # (BQ, 1) f32
+    delta = delta_ref[0]                                 # (BQ, 1) f32
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -214,8 +217,8 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0]                                         # (BK, D)
     v = v_ref[0]                                         # (BK, D)
     do = do_ref[0]                                       # (BQ, D)
-    lse = lse_ref[:].reshape(-1, 1)                      # (BQ, 1) f32
-    delta = delta_ref[:].reshape(-1, 1)                  # (BQ, 1) f32
+    lse = lse_ref[0]                                     # (BQ, 1) f32
+    delta = delta_ref[0]                                 # (BQ, 1) f32
 
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -247,9 +250,10 @@ def _flash_backward(q, k, v, o, lse, g):
     qb, kb, vb = _to_bh(q), _to_bh(k), _to_bh(v)
     ob, gb = _to_bh(o), _to_bh(g)
     # delta_i = rowsum(dO_i * O_i): one cheap fused elementwise+reduce in
-    # XLA; everything S x S stays inside the kernels.
+    # XLA; everything S x S stays inside the kernels. (BH, S, 1) layout —
+    # see the lse note in the forward kernel.
     delta = jnp.sum(gb.astype(jnp.float32) * ob.astype(jnp.float32),
-                    axis=-1)                             # (BH, S) f32
+                    axis=-1, keepdims=True)              # (BH, S, 1) f32
 
     block_q, block_k = _pick_blocks(S)
     nq, nk = S // block_q, S // block_k
@@ -257,7 +261,7 @@ def _flash_backward(q, k, v, o, lse, g):
 
     q_spec = pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0),
                           memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, block_q), lambda b, i, j: (b, i),
+    row_spec = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
                             memory_space=pltpu.VMEM)
     k_spec = pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0),
                           memory_space=pltpu.VMEM)
@@ -281,7 +285,7 @@ def _flash_backward(q, k, v, o, lse, g):
     # dk/dv: swap the roles — K blocks resident, Q innermost.
     qi_spec = pl.BlockSpec((1, block_q, D), lambda b, j, i: (b, i, 0),
                            memory_space=pltpu.VMEM)
-    rowi_spec = pl.BlockSpec((1, block_q), lambda b, j, i: (b, i),
+    rowi_spec = pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0),
                              memory_space=pltpu.VMEM)
     kj_spec = pl.BlockSpec((1, block_k, D), lambda b, j, i: (b, j, 0),
                            memory_space=pltpu.VMEM)

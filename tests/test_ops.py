@@ -99,11 +99,12 @@ def test_flash_forward_lse(rng):
     q, k, v = _rand_qkv(rng, S=512, D=32)
     with pltpu.force_tpu_interpret_mode():
         out, lse = _flash_forward(q, k, v)
+    assert lse.shape == (2, 512, 1)     # (BH, S, 1) Mosaic-tileable layout
     qb, kb = np.asarray(_to_bh(q)), np.asarray(_to_bh(k))
     scores = np.einsum("bqd,bkd->bqk", qb, kb) / np.sqrt(32)
     m = scores.max(-1)
     expect = m + np.log(np.exp(scores - m[..., None]).sum(-1))
-    np.testing.assert_allclose(np.asarray(lse), expect,
+    np.testing.assert_allclose(np.asarray(lse)[..., 0], expect,
                                rtol=1e-5, atol=1e-5)
 
 

@@ -49,6 +49,15 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
     "attn256": dict(base_channels=64, channel_mults=(1, 2, 2, 4, 4),
                     num_res_blocks=2, attn_resolutions=(32, 16),
                     num_heads=4, pixel_shuffle=2),
+    # attn256 with the 32² attention in the DOWN path + mid only: keeps the
+    # long-range mixing where the representation is built, drops the up
+    # path's 3 S=1024 calls (which see skip-injected context anyway) —
+    # the flagship-unification candidate (best-FID preset at >=1.5
+    # samples/sec, VERDICT r2 #2).
+    "attn256d": dict(base_channels=64, channel_mults=(1, 2, 2, 4, 4),
+                     num_res_blocks=2, attn_resolutions=(32, 16),
+                     up_attn_resolutions=(16,),
+                     num_heads=4, pixel_shuffle=2),
 }
 
 RESOLUTION_TO_PRESET = {64: "small64", 128: "base128", 256: "eff256"}

@@ -49,6 +49,15 @@ class CondUNet(nn.Module):
     channel_mults: Sequence[int] = (1, 2, 2, 4)
     num_res_blocks: int = 2
     attn_resolutions: Sequence[int] = (16, 8)
+    up_attn_resolutions: Optional[Sequence[int]] = None
+                                   # None -> mirror attn_resolutions in the
+                                   # up path. A narrower set (e.g. attn256d:
+                                   # 32² attention down+mid only) cuts the
+                                   # up path's num_res_blocks+1 attention
+                                   # calls per level — the up path sees the
+                                   # skip-injected context anyway, so this
+                                   # trades little quality for the dominant
+                                   # share of the attention cost.
     num_heads: int = 4
     num_classes: int = 0           # 0 => unconditional
     time_emb_dim: int = 256
@@ -125,6 +134,8 @@ class CondUNet(nn.Module):
                          h, emb, deterministic)
 
         # --- up path (skip concat) ---
+        up_attn = (self.attn_resolutions if self.up_attn_resolutions is None
+                   else self.up_attn_resolutions)
         for level, mult in reversed(list(enumerate(self.channel_mults))):
             ch = self.base_channels * mult
             for block in range(self.num_res_blocks + 1):
@@ -135,7 +146,7 @@ class CondUNet(nn.Module):
                              dropout=self.dropout,
                              name=f"up_{level}_block_{block}")(
                                  h, emb, deterministic)
-                if resolution in self.attn_resolutions:
+                if resolution in up_attn:
                     h = SelfAttention2D(self.num_heads, compute_dtype=cd,
                                         norm_dtype=self.norm_dtype,
                                         name=f"up_{level}_attn_{block}")(h)

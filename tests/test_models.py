@@ -243,3 +243,26 @@ def test_attn256_preset_builds():
     assert m.pixel_shuffle == 2
     assert m.attn_resolutions == (32, 16)
     assert m.channel_mults == (1, 2, 2, 4, 4)
+
+
+def test_attn256d_down_only_attention(rng):
+    """attn256d keeps the 32² attention in the down path + mid but not the
+    up path (flagship-unification candidate, VERDICT r2 #2): the up path
+    must carry 16²-level attention only."""
+    import jax.numpy as jnp
+
+    from superdiff_tpu.models.presets import build_model
+
+    m = build_model("attn256d", num_classes=2, compute_dtype=jnp.float32)
+    assert m.up_attn_resolutions == (16,)
+    # 64² input (shuffle 2 -> top level 32²) puts 32² at level 0
+    x = jnp.zeros((1, 64, 64, 1))
+    t = jnp.zeros((1,), jnp.int32)
+    y = jnp.zeros((1,), jnp.int32)
+    p = m.init(rng, x, t, y)
+    names = {n for n in p["params"] if "attn" in n}
+    assert "down_0_attn_0" in names          # 32² down attention present
+    assert "up_1_attn_0" in names            # 16² up attention present
+    assert not any(n.startswith("up_0_attn") for n in names), names
+    out = m.apply(p, x, t, y)
+    assert out.shape == x.shape and bool(jnp.isfinite(out).all())

@@ -18,6 +18,7 @@ the MXU with a 2B batch rather than two B calls.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -26,6 +27,15 @@ import numpy as np
 
 from superdiff_tpu.diffusion.schedules import DiffusionSchedule
 from superdiff_tpu.diffusion.process import ModelFn, _bcast_to
+
+
+def _scan_unroll() -> int:
+    """Unroll factor for the sampler scans (SUPERDIFF_TPU_SCAN_UNROLL).
+    Unrolling amortizes per-iteration scan overhead across two denoiser
+    calls; measured on v5e it is throughput-neutral-to-slightly-positive
+    (BASELINE.md round-3 ablation: denoiser-only 8.66 -> 8.53 ms/step at
+    unroll=2) at the cost of ~2x scan-body compile time. Default 1."""
+    return int(os.environ.get("SUPERDIFF_TPU_SCAN_UNROLL", "1"))
 
 
 def _guided_eps(model_fn: ModelFn,
@@ -148,7 +158,8 @@ def ddpm_sample(schedule: DiffusionSchedule,
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
     pos = jnp.arange(T, dtype=jnp.int32)
     (x_final, _, frames), _ = jax.lax.scan(
-        step, (x_init, rng, frames0), (pos, ts))
+        step, (x_init, rng, frames0), (pos, ts),
+        unroll=_scan_unroll() if T % _scan_unroll() == 0 else 1)
     if not recording:
         return x_final
     return x_final, frames
@@ -234,8 +245,10 @@ def ddim_sample(schedule: DiffusionSchedule,
         return (x_next, key, frames), None
 
     pos = jnp.arange(len(ts_np), dtype=jnp.int32)
+    n = len(ts_np)
     (x_final, _, frames), _ = jax.lax.scan(
-        step, (x_init, rng, frames0), (pos, ts, ab_next_seq))
+        step, (x_init, rng, frames0), (pos, ts, ab_next_seq),
+        unroll=_scan_unroll() if n % _scan_unroll() == 0 else 1)
     if not recording:
         return x_final
     return x_final, frames

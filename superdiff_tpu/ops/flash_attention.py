@@ -95,8 +95,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
 
 
 def _pick_blocks(S: int):
-    block_q = min(256, S)
-    block_k = min(512, S)
+    """(block_q, block_k) tile sizes; overridable for A/B measurement via
+    SUPERDIFF_TPU_FLASH_BQ / SUPERDIFF_TPU_FLASH_BK (clamped to divisors
+    of S). Defaults 256/512 measured best at S=1024 on v5e."""
+    block_q = min(int(os.environ.get("SUPERDIFF_TPU_FLASH_BQ", "256")), S)
+    block_k = min(int(os.environ.get("SUPERDIFF_TPU_FLASH_BK", "512")), S)
     while S % block_k:
         block_k //= 2
     while S % block_q:

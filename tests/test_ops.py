@@ -271,3 +271,16 @@ def test_host_init_disables_pallas_during_cpu_trace(rng, monkeypatch):
     assert params is not None
     # and the env var did not leak
     assert os.environ.get("SUPERDIFF_TPU_DISABLE_PALLAS") is None
+
+
+def test_flash_block_env_knobs(rng, monkeypatch):
+    """SUPERDIFF_TPU_FLASH_BQ/BK reshape the grid without changing values
+    (and are clamped to divisors of S)."""
+    q, k, v = _rand_qkv(rng, S=256, D=64)
+    with pltpu.force_tpu_interpret_mode():
+        base = flash_attention(q, k, v)
+        monkeypatch.setenv("SUPERDIFF_TPU_FLASH_BQ", "64")
+        monkeypatch.setenv("SUPERDIFF_TPU_FLASH_BK", "192")  # non-divisor: halved until it divides S
+        got = flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)

@@ -219,3 +219,20 @@ def test_ddim_trajectory_frames(schedule, rng):
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(frames[-1]), np.asarray(x2),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_scan_unroll_env_parity(schedule, rng, monkeypatch):
+    """SUPERDIFF_TPU_SCAN_UNROLL must not change results — unroll=2 when T
+    divides, silent fallback to 1 when it doesn't (T=50 vs unroll=4)."""
+    base = ddpm_sample(schedule, linear_model, SHAPE, rng)
+    for unroll in ("2", "4"):  # 4 does not divide 50 -> fallback path
+        monkeypatch.setenv("SUPERDIFF_TPU_SCAN_UNROLL", unroll)
+        got = ddpm_sample(schedule, linear_model, SHAPE, rng)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   rtol=1e-6, atol=1e-6)
+    monkeypatch.setenv("SUPERDIFF_TPU_SCAN_UNROLL", "2")
+    b = ddim_sample(schedule, linear_model, SHAPE, rng, num_steps=20)
+    monkeypatch.delenv("SUPERDIFF_TPU_SCAN_UNROLL")
+    a = ddim_sample(schedule, linear_model, SHAPE, rng, num_steps=20)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-6, atol=1e-6)

@@ -32,10 +32,11 @@ from superdiff_tpu.diffusion.process import ModelFn, _bcast_to
 def _scan_unroll() -> int:
     """Unroll factor for the sampler scans (SUPERDIFF_TPU_SCAN_UNROLL).
     Unrolling amortizes per-iteration scan overhead across two denoiser
-    calls; measured on v5e it is throughput-neutral-to-slightly-positive
-    (BASELINE.md round-3 ablation: denoiser-only 8.66 -> 8.53 ms/step at
-    unroll=2) at the cost of ~2x scan-body compile time. Default 1."""
-    return int(os.environ.get("SUPERDIFF_TPU_SCAN_UNROLL", "1"))
+    calls; measured on v5e (scripts/bench_r3_tuning.py): eff256 8.671 ->
+    8.633 ms/step, attn256d 10.23 -> 10.12, at the cost of ~2x scan-body
+    compile time. Default 2 (T=1000/100/50 all divide; non-divisible step
+    counts silently fall back to 1)."""
+    return int(os.environ.get("SUPERDIFF_TPU_SCAN_UNROLL", "2"))
 
 
 def _guided_eps(model_fn: ModelFn,

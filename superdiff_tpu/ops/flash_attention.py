@@ -97,9 +97,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
 def _pick_blocks(S: int):
     """(block_q, block_k) tile sizes; overridable for A/B measurement via
     SUPERDIFF_TPU_FLASH_BQ / SUPERDIFF_TPU_FLASH_BK (clamped to divisors
-    of S). Defaults 256/512 measured best at S=1024 on v5e."""
-    block_q = min(int(os.environ.get("SUPERDIFF_TPU_FLASH_BQ", "256")), S)
-    block_k = min(int(os.environ.get("SUPERDIFF_TPU_FLASH_BK", "512")), S)
+    of S). Defaults 512/1024, the best point of the round-3 on-chip sweep
+    (scripts/bench_r3_tuning.py): at S=1024 the whole K/V fits one block,
+    so the online-softmax rescale never runs and attn256 end-to-end went
+    12.57 -> 10.97 ms/step (+15%) over the old 256/512. VMEM stays ~1 MB
+    (q 512x64 + k/v 1024x64 bf16 + f32 scratch), far under budget."""
+    block_q = min(int(os.environ.get("SUPERDIFF_TPU_FLASH_BQ", "512")), S)
+    block_k = min(int(os.environ.get("SUPERDIFF_TPU_FLASH_BK", "1024")), S)
     while S % block_k:
         block_k //= 2
     while S % block_q:

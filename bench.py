@@ -4,8 +4,11 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
 
 - "value": samples/sec/chip for full 1000-step DDPM ancestral sampling of
-  256×256 grayscale images with the flagship CondUNet (eff256 preset —
-  space-to-depth stem, see models/presets.py), measured on the default JAX
+  256×256 grayscale images with the flagship CondUNet (attn256d preset —
+  space-to-depth stem + 32² flash attention in the down path + mid, see
+  models/presets.py; the round-3 unified flagship: best measured FID of
+  every 256² preset under the shared fixed extractor AND >=1.5
+  samples/sec, BASELINE.md quality A/B), measured on the default JAX
   backend (the real TPU chip under the driver).
 - "vs_baseline": speedup vs the reference stack's achievable number — the
   reference publishes no benchmarks (SURVEY.md §6, BASELINE.md), so the
@@ -29,7 +32,7 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 RES = 256
 BATCH = 16    # flat samples/sec from B=8 up; 16 is the sweet spot measured
 T = 1000
-PRESET = "eff256"
+PRESET = "attn256d"
 
 
 def log(msg):

@@ -49,18 +49,24 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
     "attn256": dict(base_channels=64, channel_mults=(1, 2, 2, 4, 4),
                     num_res_blocks=2, attn_resolutions=(32, 16),
                     num_heads=4, pixel_shuffle=2),
-    # attn256 with the 32² attention in the DOWN path + mid only: keeps the
-    # long-range mixing where the representation is built, drops the up
-    # path's 3 S=1024 calls (which see skip-injected context anyway) —
-    # the flagship-unification candidate (best-FID preset at >=1.5
-    # samples/sec, VERDICT r2 #2).
+    # THE 256² FLAGSHIP (round 3): attn256 with the 32² attention in the
+    # DOWN path + mid only — keeps the long-range mixing where the
+    # representation is built, drops the up path's 3 S=1024 calls (which
+    # see skip-injected context anyway). Measured: best FID of all 256²
+    # presets under the shared fixed extractor (6.537 vs attn256 6.551 /
+    # eff256 6.802, 120ep TB) at 1.689 samples/sec DDPM-1000 — both the
+    # quality and the >=1.5 samples/sec bar (BASELINE.md round-3 tables).
     "attn256d": dict(base_channels=64, channel_mults=(1, 2, 2, 4, 4),
                      num_res_blocks=2, attn_resolutions=(32, 16),
                      up_attn_resolutions=(16,),
                      num_heads=4, pixel_shuffle=2),
 }
 
-RESOLUTION_TO_PRESET = {64: "small64", 128: "base128", 256: "eff256"}
+# 256² default = the round-3 unified flagship: best FID of all 256²
+# presets under the shared fixed extractor (6.537 vs attn256 6.551 /
+# eff256 6.802) at 1.689 samples/sec DDPM-1000 (BASELINE.md). eff256
+# (1.853) and fast256 (3.8+) remain the pure-throughput points.
+RESOLUTION_TO_PRESET = {64: "small64", 128: "base128", 256: "attn256d"}
 
 
 def build_model(preset: str = "small64",

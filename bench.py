@@ -234,10 +234,12 @@ def measure_ours(preset: str = PRESET, res: int = RES,
     sample(jax.random.PRNGKey(1)).block_until_ready()
     log(f"compile+first run: {time.time()-tic:.0f}s")
 
-    tic = time.time()
-    out = sample(jax.random.PRNGKey(2))
-    out.block_until_ready()
-    dt = time.time() - tic
+    dt = float("inf")
+    for i in (2, 3):                       # best-of-2 steady-state runs
+        tic = time.time()
+        out = sample(jax.random.PRNGKey(i))
+        out.block_until_ready()
+        dt = min(dt, time.time() - tic)
     assert bool(jnp.isfinite(out).all()), "non-finite samples"
     sps = batch / dt
     ms_step = dt / T * 1e3

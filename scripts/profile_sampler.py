@@ -68,28 +68,30 @@ def capture(preset):
 
 
 def _categorize(name: str) -> str:
-    """Map an HLO/Mosaic event name to a coarse op category."""
-    n = name.lower()
-    if "flash" in n or "pallas" in n:
-        return "pallas-flash"
-    if n.startswith(("fusion", "loop_fusion", "input_fusion", "output_fusion")):
-        return "fusion(elementwise/norm)"
+    """Map a leaf HLO op name (pre-`=` part) to a coarse category.
+
+    Naming observed on the v5e trace: Pallas kernels keep their module-
+    path name (e.g. ``%down_2_attn_0.8``), GroupNorm statistic+normalize
+    chains lower to ``%convert_reduce_fusion.N``, convs to
+    ``%fusion.N``/``%convolution_add_fusion.N`` with the kernel operand
+    inside."""
+    n = name.lower().lstrip("%")
+    if "attn" in n or "flash" in n or "pallas" in n:
+        return "pallas-flash-attention"
+    if n.startswith(("convert_reduce_fusion", "reduce")):
+        return "norm-stats+normalize (reduce fusions)"
     if "convolution" in n or n.startswith("conv"):
-        return "convolution"
+        return "convolution(+fused epilogue)"
+    if n.startswith("fusion"):
+        return "fusion (convs + elementwise)"
     if "dot" in n:
         return "matmul"
-    if "reduce" in n:
-        return "reduce"
     if "copy" in n or "transpose" in n or "bitcast" in n:
         return "copy/transpose"
     if "concatenate" in n:
         return "concatenate"
-    if "dynamic" in n and "slice" in n:
-        return "dynamic-slice/update"
     if "rng" in n or "threefry" in n:
         return "rng"
-    if "all-reduce" in n or "collective" in n:
-        return "collective"
     return "other"
 
 
@@ -111,22 +113,26 @@ def parse(trace_dir):
 
     by_name = collections.Counter()
     by_cat = collections.Counter()
-    device_planes = [p for p in xspace.planes
-                     if "TPU" in p.name or "/device" in p.name.lower()]
+    device_planes = [p for p in xspace.planes if "TPU" in p.name]
     log("planes: " + "; ".join(p.name for p in xspace.planes))
-    for plane in device_planes or xspace.planes:
+    for plane in device_planes:
         ev_names = dict(plane.event_metadata.items())
         for line in plane.lines:
-            # XLA Ops line carries per-HLO self times; skip derived lines
-            # (steps, scopes) which double-count.
-            if line.name and not re.search(r"xla ops|ops", line.name.lower()):
+            # Exactly the "XLA Ops" line (leaf per-HLO durations). The
+            # "XLA Modules" line is the whole program, "Async XLA Ops" are
+            # overlapped DMAs — both double-count against leaf time.
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
                 meta = ev_names.get(ev.metadata_id)
                 name = meta.name if meta else str(ev.metadata_id)
+                # control-flow wrappers span their whole bodies; leaf ops
+                # are already counted individually.
+                if name.startswith(("%while", "%body", "%cond", "%wide")):
+                    continue
                 dur_us = ev.duration_ps / 1e6
-                by_name[name] += dur_us
-                by_cat[_categorize(name)] += dur_us
+                by_name[name.split(" = ")[0]] += dur_us
+                by_cat[_categorize(name.split(" = ")[0])] += dur_us
     return by_name, by_cat
 
 

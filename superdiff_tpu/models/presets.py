@@ -49,6 +49,16 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
     "attn256": dict(base_channels=64, channel_mults=(1, 2, 2, 4, 4),
                     num_res_blocks=2, attn_resolutions=(32, 16),
                     num_heads=4, pixel_shuffle=2),
+    # fast256 topology (4x shuffle, 64² top level) + attn256d's attention
+    # policy (32² flash attention down+mid, 16² everywhere): the profile
+    # (artifacts/profile/profile_attn256d.json) shows 62% of attn256d's
+    # step lives at its 128² level where C=64 half-fills the 128-lane VPU
+    # tiles; shuffling that level away cuts it 4x. Quality-vs-flagship
+    # measured in the 256² A/B (BASELINE.md).
+    "fastattn256": dict(base_channels=64, channel_mults=(1, 2, 4, 4),
+                        num_res_blocks=2, attn_resolutions=(32, 16),
+                        up_attn_resolutions=(16,),
+                        num_heads=4, pixel_shuffle=4),
     # THE 256² FLAGSHIP (round 3): attn256 with the 32² attention in the
     # DOWN path + mid only — keeps the long-range mixing where the
     # representation is built, drops the up path's 3 S=1024 calls (which

@@ -266,3 +266,25 @@ def test_attn256d_down_only_attention(rng):
     assert not any(n.startswith("up_0_attn") for n in names), names
     out = m.apply(p, x, t, y)
     assert out.shape == x.shape and bool(jnp.isfinite(out).all())
+
+
+def test_fastattn256_preset(rng):
+    """fastattn256 = fast256's 4x-shuffle topology + attn256d's attention
+    policy (32² attention down+mid, 16² both paths)."""
+    import jax.numpy as jnp
+
+    from superdiff_tpu.models.presets import build_model
+
+    m = build_model("fastattn256", num_classes=2, compute_dtype=jnp.float32)
+    assert m.pixel_shuffle == 4 and m.up_attn_resolutions == (16,)
+    # 128² input (shuffle 4 -> top level 32²) puts 32² at level 0
+    x = jnp.zeros((1, 128, 128, 1))
+    t = jnp.zeros((1,), jnp.int32)
+    y = jnp.zeros((1,), jnp.int32)
+    p = m.init(rng, x, t, y)
+    names = {n for n in p["params"] if "attn" in n}
+    assert "down_0_attn_0" in names          # 32² down attention present
+    assert "up_1_attn_0" in names            # 16² up attention present
+    assert not any(n.startswith("up_0_attn") for n in names), names
+    out = m.apply(p, x, t, y)
+    assert out.shape == x.shape and bool(jnp.isfinite(out).all())

@@ -53,8 +53,11 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
     # policy (32² flash attention down+mid, 16² everywhere): the profile
     # (artifacts/profile/profile_attn256d.json) shows 62% of attn256d's
     # step lives at its 128² level where C=64 half-fills the 128-lane VPU
-    # tiles; shuffling that level away cuts it 4x. Quality-vs-flagship
-    # measured in the 256² A/B (BASELINE.md).
+    # tiles; shuffling that level away cuts it 4x. Measured: 4.44
+    # samples/sec (2.6x the flagship) but shared-extractor FID 13.0 vs
+    # the flagship's 6.54 — the 4x shuffle costs real detail quality, so
+    # this is the max-throughput preset, NOT the flagship (BASELINE.md
+    # 256² A/B).
     "fastattn256": dict(base_channels=64, channel_mults=(1, 2, 4, 4),
                         num_res_blocks=2, attn_resolutions=(32, 16),
                         up_attn_resolutions=(16,),

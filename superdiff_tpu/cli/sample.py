@@ -1,7 +1,8 @@
 """Standalone sampling CLI — fills the reference's empty ``src/sampling.py``.
 
 Three modes:
-- single-run DDPM (1000-step ancestral) or DDIM (``--num-steps``/``--eta``)
+- single-run DDPM (1000-step ancestral), DDIM (``--num-steps``/``--eta``),
+  or DPM-Solver++(2M) (``--method dpmpp``, ~20 steps match DDIM-50)
 - SuperDiff superposition of two trained runs (``--run-dir2``, ``--mode``)
 
 Each batch is one compiled ``lax.scan``; batches stream PNG grids + an .npy
@@ -36,7 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--best", action="store_true",
                    help="load the best-validation checkpoint "
                         "(<checkpoint_dir>_best) instead of the latest")
-    p.add_argument("--method", choices=["ddpm", "ddim"], default="ddpm")
+    p.add_argument("--method", choices=["ddpm", "ddim", "dpmpp"],
+                   default="ddpm")
     p.add_argument("--num-steps", type=int, default=None,
                    help="DDIM steps (default 50) or DDPM override")
     p.add_argument("--eta", type=float, default=0.0)
@@ -61,7 +63,8 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
-    from superdiff_tpu.diffusion import ddpm_sample, ddim_sample
+    from superdiff_tpu.diffusion import (ddpm_sample, ddim_sample,
+                                         dpmpp_sample)
     from superdiff_tpu.diffusion.superdiff import superdiff_sample
     from superdiff_tpu.inference import (apply_sampling_policy,
                                          check_superpose_compat, load_run,
@@ -155,6 +158,13 @@ def main(argv=None) -> int:
                 fn = lambda *a: applyp(p, *a)
                 return ddim_sample(schedule, fn, shape, r,
                                    num_steps=steps, eta=args.eta, **extra)
+        elif args.method == "dpmpp":
+            steps = args.num_steps or 20
+
+            def _single(r, p):
+                fn = lambda *a: applyp(p, *a)
+                return dpmpp_sample(schedule, fn, shape, r,
+                                    num_steps=steps, **extra)
         else:
             def _single(r, p):
                 fn = lambda *a: applyp(p, *a)

@@ -1,6 +1,7 @@
 from superdiff_tpu.diffusion.schedules import DiffusionSchedule, make_schedule
 from superdiff_tpu.diffusion.process import q_sample, p_losses, training_step
-from superdiff_tpu.diffusion.samplers import ddpm_sample, ddim_sample
+from superdiff_tpu.diffusion.samplers import (ddpm_sample, ddim_sample,
+                                              dpmpp_sample)
 
 __all__ = [
     "DiffusionSchedule",
@@ -10,4 +11,5 @@ __all__ = [
     "training_step",
     "ddpm_sample",
     "ddim_sample",
+    "dpmpp_sample",
 ]

@@ -253,3 +253,100 @@ def ddim_sample(schedule: DiffusionSchedule,
     if not recording:
         return x_final
     return x_final, frames
+
+
+def dpmpp_sample(schedule: DiffusionSchedule,
+                 model_fn: ModelFn,
+                 shape: Tuple[int, ...],
+                 rng: jax.Array,
+                 num_steps: int = 20,
+                 y: Optional[jnp.ndarray] = None,
+                 guidance_scale: float = 1.0,
+                 null_label: int = 0,
+                 clip_x0: bool = True,
+                 num_frames: int = 0,
+                 dtype=jnp.float32) -> jnp.ndarray:
+    """DPM-Solver++(2M) — second-order multistep ODE sampling
+    (Lu et al. 2022, arXiv:2211.01095, data-prediction variant).
+
+    The fast-sampling frontier beyond DDIM: one model call per step plus a
+    free second-order correction from the *previous* step's x0 prediction,
+    so ~20 steps match what DDIM needs ~50 for. Goes beyond the reference's
+    declared-but-empty sampling module (``src/sampling.py``, 0 bytes) the
+    same way :func:`ddim_sample` does, one rung higher on the speed/quality
+    curve. Deterministic given the init noise (ODE solver, no fresh noise).
+
+    Update in log-SNR time (``lambda_t = log(alpha_t / sigma_t)`` with
+    ``alpha = sqrt(alpha_bar)``, ``sigma = sqrt(1 - alpha_bar)``), stepping
+    node ``s -> t`` with ``h = lambda_t - lambda_s``:
+
+    ``x_t = (sigma_t / sigma_s) x_s + alpha_t (1 - e^{-h}) D``
+
+    where ``D`` extrapolates the current and previous x0 predictions,
+    ``D = (1 + c) x0_i - c x0_{i-1}`` with ``c = h_i / (2 h_{i-1})``
+    (first-order on the first step). The final transition targets the clean
+    manifold (``sigma = 0``) first-order — the standard ``lower_order_final``
+    stabilization for <15-step runs — so the last update returns the t=0
+    x0 prediction exactly. Model calls: exactly ``num_steps``.
+    """
+    ts_np = ddim_timesteps(schedule.num_timesteps, num_steps)
+    n = len(ts_np)
+    ab = np.asarray(schedule.alpha_bars, dtype=np.float64)[ts_np]
+    alpha = np.sqrt(ab)
+    sigma = np.sqrt(1.0 - ab)
+    lam = np.log(alpha / sigma)
+
+    # Per-transition target coefficients: node i -> node i+1 for i<n-1,
+    # node n-1 -> the clean manifold (sigma=0, alpha=1, e^{-h}=0) for the
+    # last. h_last is +inf in the math; the closed-form limits below avoid
+    # materializing it.
+    coef_x = np.concatenate([sigma[1:] / sigma[:-1], [0.0]])
+    exp_mh = np.concatenate([np.exp(-(lam[1:] - lam[:-1])), [0.0]])
+    coef_d = np.concatenate([alpha[1:], [1.0]]) * (1.0 - exp_mh)
+    h = lam[1:] - lam[:-1]                       # finite transitions only
+    # Second-order mixing c_i = h_i / (2 h_{i-1}): zero on the first step
+    # (no history) and the last (h=inf would blow it up — lower_order_final).
+    c2 = np.zeros(n)
+    if n >= 3:
+        c2[1:n - 1] = h[1:] / (2.0 * h[:-1])
+
+    ts = jnp.asarray(ts_np, dtype=jnp.int32)
+    ab_seq = jnp.asarray(ab, dtype=jnp.float32)
+    coef_x = jnp.asarray(coef_x, dtype=jnp.float32)
+    coef_d = jnp.asarray(coef_d, dtype=jnp.float32)
+    c2 = jnp.asarray(c2, dtype=jnp.float32)
+
+    rng, init_rng = jax.random.split(rng)
+    x_init = jax.random.normal(init_rng, shape, dtype=dtype)
+
+    recording = num_frames > 0
+    if recording:
+        init_buf, record = make_frame_recorder(n, num_frames)
+        frames0 = init_buf(shape, dtype)
+    else:
+        frames0 = jnp.zeros((0,))
+
+    def step(carry, scan_in):
+        x, x0_prev, frames = carry
+        pos, t_scalar, ab_t, cx, cd, c = scan_in
+        t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
+        eps_hat = _guided_eps(model_fn, x, t, y, guidance_scale, null_label)
+        a_t = jnp.sqrt(ab_t)
+        s_t = jnp.sqrt(1.0 - ab_t)
+        x0_pred = (x - s_t * eps_hat) / a_t
+        if clip_x0:
+            x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
+        d = (1.0 + c) * x0_pred - c * x0_prev
+        x_next = cx * x + cd * d
+        if recording:
+            frames = record(frames, x_next, pos)
+        return (x_next, x0_pred, frames), None
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    (x_final, _, frames), _ = jax.lax.scan(
+        step, (x_init, jnp.zeros(shape, dtype=dtype), frames0),
+        (pos, ts, ab_seq, coef_x, coef_d, c2),
+        unroll=_scan_unroll() if n % _scan_unroll() == 0 else 1)
+    if not recording:
+        return x_final
+    return x_final, frames

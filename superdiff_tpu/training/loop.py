@@ -204,6 +204,11 @@ def train(cfg: Config,
     def _stopping() -> bool:
         return stop_flag["stop"] or bool(should_stop and should_stop())
 
+    def _every(n: int, epoch: int) -> bool:
+        """Epoch-periodic trigger; n <= 0 disables the feature (vis_every=0
+        must mean "never", not ZeroDivisionError mid-run)."""
+        return n > 0 and (epoch + 1) % n == 0
+
     profile_after = 1 if cfg.logging.profile_steps > 0 else -1
     profiling = False
 
@@ -265,7 +270,7 @@ def train(cfg: Config,
                 raise RuntimeError(
                     f"epoch {epoch + 1} yielded zero batches "
                     "(empty dataset or steps_per_epoch=0?)")
-            if (epoch + 1) % t.log_every == 0:
+            if _every(t.log_every, epoch):
                 logger.info("epoch %d: avg_loss=%.4f (%.1f img/s)",
                             epoch + 1, avg, imgs_per_sec)
             metrics_log.log(int(state.step),
@@ -273,7 +278,7 @@ def train(cfg: Config,
                              "images_per_sec": imgs_per_sec,
                              "grad_norm": float(m["grad_norm"])})
 
-            if eval_fn is not None and (epoch + 1) % t.eval_every == 0:
+            if eval_fn is not None and _every(t.eval_every, epoch):
                 val_loss = run_validation()
                 if val_loss is not None:
                     improved = val_loss < best_val
@@ -282,7 +287,7 @@ def train(cfg: Config,
                                      "val_loss": val_loss,
                                      "best_val_loss": min(val_loss,
                                                           best_val)})
-                    if (epoch + 1) % t.log_every == 0:
+                    if _every(t.log_every, epoch):
                         logger.info("epoch %d: val_loss=%.4f%s", epoch + 1,
                                     val_loss, " (best)" if improved else "")
                     if improved:
@@ -299,10 +304,10 @@ def train(cfg: Config,
                                        "epoch": epoch + 1,
                                        "val_loss": best_val}, f)
 
-            if (epoch + 1) % t.save_every == 0:
+            if _every(t.save_every, epoch):
                 ckpt.save(state)
 
-            if (epoch + 1) % t.vis_every == 0 and last_real is not None:
+            if _every(t.vis_every, epoch) and last_real is not None:
                 n_vis = min(8, B)
                 if conditional:
                     y_vis = jnp.arange(n_vis, dtype=jnp.int32) \
@@ -319,6 +324,17 @@ def train(cfg: Config,
                     np.asarray(last_real[:n_vis]), np.asarray(gen),
                     os.path.join(paths.output_dir,
                                  f"samples_epoch{epoch + 1}.png"))
+
+        if all_losses:
+            save_loss_curve(all_losses,
+                            os.path.join(paths.output_dir, "loss_curve.png"))
+            summary["final_loss"] = all_losses[-1]
+            summary["mean_last_epoch_loss"] = (
+                avg if not stopped else float(np.mean(epoch_losses)))
+        ckpt.save(state, force=True)
+        if ckpt_best is not None:
+            summary["best_val_loss"] = best_val
+            summary["best_val_step"] = float(best_val_step)
     finally:
         # Restore process-wide handlers and close an in-flight trace
         # even when a step raises (NaN debug, OOM, data error) —
@@ -329,20 +345,19 @@ def train(cfg: Config,
             profiling = False
         for sig, h in prev_handlers.items():
             signal.signal(sig, h)
-
-    if all_losses:
-        save_loss_curve(all_losses,
-                        os.path.join(paths.output_dir, "loss_curve.png"))
-        summary["final_loss"] = all_losses[-1]
-        summary["mean_last_epoch_loss"] = (
-            avg if not stopped else float(np.mean(epoch_losses)))
-    ckpt.save(state, force=True)
-    ckpt.close()
-    if ckpt_best is not None:
-        ckpt_best.close()
-        summary["best_val_loss"] = best_val
-        summary["best_val_step"] = float(best_val_step)
-    metrics_log.close()
+        # Always finalize writers: Orbax saves are async, and an exception
+        # between save() and close() would strand *.orbax-checkpoint-tmp
+        # dirs that restore() cannot read (the commit thread then dies at
+        # interpreter shutdown with "cannot schedule new futures").
+        for closer in (ckpt.close,
+                       ckpt_best.close if ckpt_best is not None else None,
+                       metrics_log.close):
+            if closer is None:
+                continue
+            try:
+                closer()
+            except Exception:  # pragma: no cover - best-effort teardown
+                logger.exception("finalizing a writer failed")
     summary["steps"] = int(state.step)
     summary["stopped_early"] = float(stopped)
     return summary

@@ -221,6 +221,83 @@ def test_ddim_trajectory_frames(schedule, rng):
                                rtol=1e-6, atol=1e-6)
 
 
+# ------------------------------------------------------- DPM-Solver++(2M) ---
+
+def test_dpmpp_deterministic_and_finite(schedule, rng):
+    from superdiff_tpu.diffusion import dpmpp_sample
+
+    a = dpmpp_sample(schedule, linear_model, SHAPE, rng, num_steps=10)
+    b = dpmpp_sample(schedule, linear_model, SHAPE, rng, num_steps=10)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.isfinite(np.asarray(a)).all()
+    assert a.shape == SHAPE
+
+
+def test_dpmpp_beats_ddim_on_gaussian_ode(rng):
+    """Order check on a case with an exact probability-flow solution.
+
+    For data ~ N(0, s²I) the exact score gives eps(x, t) =
+    sqrt(1-ab_t) x / (s² ab_t + 1 - ab_t), and the flow ODE's solution
+    through x_T is x_0 = x_T * s / sqrt(s² ab_T + 1 - ab_T) (the variance
+    contraction along the path). At equal model-call budgets the 2nd-order
+    multistep solver must land closer than DDIM eta=0, and closer than
+    itself at half the budget (convergence order sanity)."""
+    from superdiff_tpu.diffusion import dpmpp_sample
+
+    T_big = 1000
+    sched = make_schedule(T_big)
+    s2 = 4.0
+    ab = jnp.asarray(sched.alpha_bars)
+
+    def gaussian_eps(x, t):
+        ab_t = ab[t][:, None, None, None]
+        return jnp.sqrt(1.0 - ab_t) * x / (s2 * ab_t + (1.0 - ab_t))
+
+    shape = (4, 8, 8, 1)
+    # mirror the samplers' internal split so x_T below IS their init noise
+    init_rng = jax.random.split(rng)[1]
+    x_T = jax.random.normal(init_rng, shape)
+    ab_T = float(np.asarray(sched.alpha_bars)[-1])
+    # exact solution of the flow ODE from t=T-1 down (noise-free endpoint)
+    exact = np.asarray(x_T) * np.sqrt(s2) / np.sqrt(s2 * ab_T + (1 - ab_T))
+
+    def err(fn, steps):
+        # both samplers split rng identically: first split draws x_T
+        got = fn(sched, gaussian_eps, shape, rng, num_steps=steps,
+                 clip_x0=False)
+        return float(jnp.sqrt(jnp.mean((got - exact) ** 2)))
+
+    e_dpm_10 = err(dpmpp_sample, 10)
+    e_dpm_20 = err(dpmpp_sample, 20)
+    e_ddim_20 = err(ddim_sample, 20)
+    e_ddim_50 = err(ddim_sample, 50)
+    # second-order: doubling steps cuts error ~4x (measured 0.290/0.072)
+    assert e_dpm_10 / e_dpm_20 > 3.0, (e_dpm_10, e_dpm_20)
+    # decisively beats first-order DDIM at the same call budget
+    assert e_dpm_20 < 0.6 * e_ddim_20, (e_dpm_20, e_ddim_20)
+    # the headline: 20 DPM++ calls land where ~50 DDIM calls do
+    assert e_dpm_20 < 1.3 * e_ddim_50, (e_dpm_20, e_ddim_50)
+
+
+def test_dpmpp_frames_and_guidance(schedule, rng):
+    from superdiff_tpu.diffusion import dpmpp_sample
+
+    x, frames = dpmpp_sample(schedule, linear_model, SHAPE, rng,
+                             num_steps=12, num_frames=4)
+    assert frames.shape == (4,) + SHAPE
+    np.testing.assert_allclose(np.asarray(frames[-1]), np.asarray(x),
+                               rtol=1e-6, atol=1e-6)
+
+    def cond_model(x, t, y):
+        return jnp.where((y < 1)[:, None, None, None],
+                         jnp.zeros_like(x), 0.1 * jnp.ones_like(x))
+
+    y = jnp.ones((SHAPE[0],), dtype=jnp.int32)
+    g = dpmpp_sample(schedule, cond_model, SHAPE, rng, num_steps=8, y=y,
+                     guidance_scale=2.0, null_label=0)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_scan_unroll_env_parity(schedule, rng, monkeypatch):
     """SUPERDIFF_TPU_SCAN_UNROLL must not change results — unroll=2 when T
     divides, silent fallback to 1 when it doesn't (T=50 vs unroll=4)."""

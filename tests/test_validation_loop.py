@@ -67,6 +67,52 @@ def test_val_loss_logged_and_best_checkpoint_tagged(tmp_path):
     mngr.close()
 
 
+def test_zero_periods_disable_not_crash(tmp_path):
+    """vis_every=0 / save_every=0 / log_every=0 mean "never", not
+    ZeroDivisionError mid-epoch (round-3 regression: the crash also
+    stranded the in-flight Orbax save as an unreadable tmp dir)."""
+    cfg = _cfg(tmp_path, epochs=1)
+    cfg.training.vis_every = 0
+    cfg.training.log_every = 0
+    summary = train(cfg, use_synthetic=True)
+    assert summary["steps"] == 2
+    # the final forced save must be finalized and restorable
+    out = os.path.join(str(tmp_path), "outputs", "PNEUMONIA",
+                       "experiment_v_run_0")
+    mngr = CheckpointManager(os.path.join(out, "checkpoints"))
+    assert mngr.latest_step() == 2
+
+
+def test_writers_finalized_when_loop_raises(tmp_path, monkeypatch):
+    """An exception mid-loop (NaN debug, OOM, data error) must still
+    finalize async Orbax writes — otherwise every checkpoint saved this
+    run is a *.orbax-checkpoint-tmp dir that restore() can't read."""
+    import superdiff_tpu.training.loop as loop_mod
+
+    cfg = _cfg(tmp_path, epochs=3)
+    cfg.training.save_every = 1
+    cfg.training.vis_every = 2    # crash in epoch 2, after epoch 2's save
+
+    def boom(*a, **k):
+        raise RuntimeError("injected visualization failure")
+
+    monkeypatch.setattr(loop_mod, "save_real_vs_generated", boom)
+    try:
+        loop_mod.train(cfg, use_synthetic=True)
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised
+    out = os.path.join(str(tmp_path), "outputs", "PNEUMONIA",
+                       "experiment_v_run_0")
+    # epoch saves before the crash must be committed (readable), not tmp
+    mngr = CheckpointManager(os.path.join(out, "checkpoints"))
+    assert mngr.latest_step() is not None
+    leftovers = [d for d in os.listdir(os.path.join(out, "checkpoints"))
+                 if d.endswith("-tmp")]
+    assert not leftovers, leftovers
+
+
 def test_eval_disabled(tmp_path):
     cfg = _cfg(tmp_path, epochs=1)
     cfg.training.eval_every = 0

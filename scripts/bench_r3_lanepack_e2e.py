@@ -1,0 +1,76 @@
+"""End-to-end A/B of SUPERDIFF_TPU_LANE_PACK on the flagship presets.
+
+Times a denoiser-only scan (200 steps, batch 16 — the sampler is
+denoiser-bound, BASELINE.md ablation) with the lane-packed norm chain off
+vs on, for the presets whose 128² C=64 level the profile indicts.
+
+    python scripts/bench_r3_lanepack_e2e.py > /tmp/r3_lp_e2e.jsonl 2>/tmp/r3_lp_e2e.log
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STEPS = 200
+BATCH = 16
+RES = 256
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from superdiff_tpu.models.presets import build_model
+    from superdiff_tpu.utils.env import host_init
+    from superdiff_tpu.inference import apply_sampling_policy
+
+    log(f"backend: {jax.default_backend()}")
+    for preset in ("attn256d", "eff256"):
+        model = build_model(preset, num_classes=2, norm_dtype=jnp.bfloat16)
+        shape = (BATCH, RES, RES, 1)
+        xz = jnp.zeros(shape, dtype=jnp.float32)
+        t0 = jnp.zeros((BATCH,), dtype=jnp.int32)
+        y = jnp.zeros((BATCH,), dtype=jnp.int32)
+        params = host_init(model.init, jax.random.PRNGKey(0), xz, t0, y)
+        params = apply_sampling_policy(params)
+        x0 = jax.random.normal(jax.random.PRNGKey(1), shape)
+
+        for pack in ("0", "1"):
+            os.environ["SUPERDIFF_TPU_LANE_PACK"] = pack
+
+            def denoiser_only(x0):
+                def step(x, t_scalar):
+                    t = jnp.full((BATCH,), t_scalar, dtype=jnp.int32)
+                    return model.apply(params, x, t, y).astype(x.dtype), None
+                xf, _ = jax.lax.scan(step, x0,
+                                     jnp.arange(STEPS, dtype=jnp.int32),
+                                     unroll=2)
+                return xf
+
+            run = jax.jit(denoiser_only)
+            tic = time.time()
+            out = jax.block_until_ready(run(x0))
+            log(f"  [{preset} pack={pack}] compile+first: "
+                f"{time.time() - tic:.0f}s")
+            best = float("inf")
+            for _ in range(3):
+                tic = time.time()
+                jax.block_until_ready(run(x0))
+                best = min(best, time.time() - tic)
+            ms = best / STEPS * 1e3
+            rec = {"preset": preset, "lane_pack": pack == "1",
+                   "ms_per_step": round(ms, 3),
+                   "samples_per_sec_ddpm1000": round(BATCH / (ms * 1.0), 4),
+                   "checksum": float(jnp.mean(jnp.abs(out)))}
+            print(json.dumps(rec), flush=True)
+            log(f"[{preset} pack={pack}] {ms:.2f} ms/step")
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,33 @@ class GroupNormSiLU(nn.Module):
             force=None if self.fused else "xla")
 
 
+class NormAct(nn.Module):
+    """GroupNorm (+ optional FiLM) + SiLU via the lane-packed XLA chain
+    (``ops/packed_norm.py``): for C < 128 tensors the elementwise/reduce
+    passes run on a W-folded lane-full view, halving the tile-padding HBM
+    tax the round-3 profile charges to the 128² C=64 norm chains. Parameter
+    layout identical to ``nn.GroupNorm`` (``scale``/``bias``), so
+    checkpoints are interchangeable with the unfused modules."""
+    num_groups: int
+    dtype: jnp.dtype = jnp.float32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 film_scale: Optional[jnp.ndarray] = None,
+                 film_shift: Optional[jnp.ndarray] = None,
+                 apply_silu: bool = True) -> jnp.ndarray:
+        from superdiff_tpu.ops.packed_norm import groupnorm_film_silu
+
+        C = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        return groupnorm_film_silu(
+            x, gamma, beta, self.num_groups, eps=self.epsilon,
+            film_scale=film_scale, film_shift=film_shift,
+            out_dtype=self.dtype, apply_silu=apply_silu, pack=True)
+
+
 class ResBlock(nn.Module):
     """DDPM residual block with FiLM (scale-shift) conditioning.
 
@@ -101,7 +128,9 @@ class ResBlock(nn.Module):
     of a plain additive bias. The norm->(FiLM)->SiLU prologues run as plain
     XLA ops (bf16 under the inference ``norm_dtype`` policy, which XLA
     fuses into the surrounding convs — measured faster than the standalone
-    fused Pallas kernel, see :class:`GroupNormSiLU`).
+    fused Pallas kernel, see :class:`GroupNormSiLU`). With
+    ``SUPERDIFF_TPU_LANE_PACK=1`` they dispatch to :class:`NormAct`'s
+    W-folded lane-full chain instead (same math, same param tree).
     """
     out_channels: int
     compute_dtype: jnp.dtype = jnp.float32
@@ -114,14 +143,20 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
+        from superdiff_tpu.ops.packed_norm import _lane_pack_enabled
+
         in_ch = x.shape[-1]
         g1 = num_groups_for(in_ch, self.groups)
         g2 = num_groups_for(self.out_channels, self.groups)
         nd = self.norm_dtype
+        packed = _lane_pack_enabled()
 
-        h = nn.GroupNorm(num_groups=g1, epsilon=1e-5, dtype=nd,
-                         name="norm_0")(x)
-        h = nn.silu(h)
+        if packed:
+            h = NormAct(num_groups=g1, dtype=nd, name="norm_0")(x)
+        else:
+            h = nn.GroupNorm(num_groups=g1, epsilon=1e-5, dtype=nd,
+                             name="norm_0")(x)
+            h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), dtype=self.compute_dtype,
                     name="conv_0")(h.astype(self.compute_dtype))
 
@@ -130,11 +165,15 @@ class ResBlock(nn.Module):
                         name="emb_proj")(nn.silu(emb.astype(jnp.float32)))
         scale, shift = jnp.split(cond, 2, axis=-1)          # (B, C) each
 
-        h = nn.GroupNorm(num_groups=g2, epsilon=1e-5, dtype=nd,
-                         name="norm_1")(h)
-        h = (h * (1.0 + scale.astype(nd)[:, None, None, :])
-             + shift.astype(nd)[:, None, None, :])
-        h = nn.silu(h)
+        if packed:
+            h = NormAct(num_groups=g2, dtype=nd, name="norm_1")(
+                h, film_scale=scale, film_shift=shift)
+        else:
+            h = nn.GroupNorm(num_groups=g2, epsilon=1e-5, dtype=nd,
+                             name="norm_1")(h)
+            h = (h * (1.0 + scale.astype(nd)[:, None, None, :])
+                 + shift.astype(nd)[:, None, None, :])
+            h = nn.silu(h)
         h = h.astype(self.compute_dtype)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)

@@ -284,3 +284,88 @@ def test_flash_block_env_knobs(rng, monkeypatch):
         got = flash_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(base),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------- lane-packed GN chain ---
+
+def test_packed_norm_matches_unpacked_math(rng):
+    """groupnorm_film_silu with the W-fold engaged must equal the plain
+    chain bit-for-bit in f32 (folding only permutes elements *within* each
+    (batch, group) reduction set)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from superdiff_tpu.ops.packed_norm import groupnorm_film_silu, _fold_factor
+
+    B, H, W, C, G = 2, 8, 8, 64, 32
+    assert _fold_factor(W, C) == 2
+    x = jax.random.normal(rng, (B, H, W, C), jnp.float32)
+    gamma = jax.random.normal(jax.random.fold_in(rng, 1), (C,)) * 0.1 + 1.0
+    beta = jax.random.normal(jax.random.fold_in(rng, 2), (C,)) * 0.1
+    fs = jax.random.normal(jax.random.fold_in(rng, 3), (B, C)) * 0.1
+    ft = jax.random.normal(jax.random.fold_in(rng, 4), (B, C)) * 0.1
+
+    a = groupnorm_film_silu(x, gamma, beta, G, film_scale=fs, film_shift=ft,
+                            pack=False)
+    b = groupnorm_film_silu(x, gamma, beta, G, film_scale=fs, film_shift=ft,
+                            pack=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_packed_norm_matches_flax_groupnorm(rng):
+    """The collapsed-affine chain must reproduce
+    nn.GroupNorm -> FiLM -> silu (the ResBlock prologue it replaces)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+    from superdiff_tpu.ops.packed_norm import groupnorm_film_silu
+
+    B, H, W, C, G = 2, 4, 6, 32, 8
+    x = jax.random.normal(rng, (B, H, W, C), jnp.float32)
+    gn = nn.GroupNorm(num_groups=G, epsilon=1e-5)
+    params = gn.init(jax.random.fold_in(rng, 9), x)
+    gamma = params["params"]["scale"] + 0.3
+    beta = params["params"]["bias"] - 0.1
+    params = {"params": {"scale": gamma, "bias": beta}}
+    fs = jax.random.normal(jax.random.fold_in(rng, 3), (B, C)) * 0.2
+    ft = jax.random.normal(jax.random.fold_in(rng, 4), (B, C)) * 0.2
+
+    ref = gn.apply(params, x)
+    ref = ref * (1.0 + fs[:, None, None, :]) + ft[:, None, None, :]
+    ref = nn.silu(ref)
+    got = groupnorm_film_silu(x, gamma, beta, G, film_scale=fs,
+                              film_shift=ft, pack=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_lane_pack_model_parity(rng, monkeypatch):
+    """SUPERDIFF_TPU_LANE_PACK=1 must not change CondUNet outputs (same
+    param tree, same math — only the on-device data layout of the norm
+    chain differs). Checkpoint interchangeability is the load-bearing
+    property: the flag must be flippable on a trained model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from superdiff_tpu.models.presets import build_model
+
+    model = build_model("eff256", num_classes=2, compute_dtype=jnp.float32,
+                        base_channels=16)
+    x = jax.random.normal(rng, (2, 64, 64, 1), jnp.float32)
+    t = jnp.array([3, 40], dtype=jnp.int32)
+    y = jnp.array([0, 1], dtype=jnp.int32)
+
+    monkeypatch.delenv("SUPERDIFF_TPU_LANE_PACK", raising=False)
+    params = model.init(jax.random.fold_in(rng, 1), x, t, y)
+    out_plain = model.apply(params, x, t, y)
+
+    monkeypatch.setenv("SUPERDIFF_TPU_LANE_PACK", "1")
+    # param tree must be identical (checkpoints interchangeable)
+    params_packed = model.init(jax.random.fold_in(rng, 1), x, t, y)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_packed))
+    out_packed = model.apply(params, x, t, y)
+    np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_packed),
+                               rtol=2e-4, atol=2e-4)

@@ -31,7 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="required for FID (test split as the real set)")
     p.add_argument("--num-samples", type=int, default=64)
     p.add_argument("--batch-size", type=int, default=16)
-    p.add_argument("--method", choices=["ddpm", "ddim"], default="ddim")
+    p.add_argument("--method", choices=["ddpm", "ddim", "dpmpp"],
+                   default="ddim")
     p.add_argument("--num-steps", type=int, default=100)
     p.add_argument("--extractor",
                    choices=["diffusion", "random", "resnet18",
@@ -59,7 +60,8 @@ def main(argv=None) -> int:
 
     from superdiff_tpu.analysis import (
         FeatureExtractor, compute_fid)
-    from superdiff_tpu.diffusion import ddpm_sample, ddim_sample
+    from superdiff_tpu.diffusion import (ddpm_sample, ddim_sample,
+                                         dpmpp_sample)
     from superdiff_tpu.diffusion.superdiff import superdiff_sample
     from superdiff_tpu.inference import (apply_sampling_policy,
                                          check_superpose_compat, load_run,
@@ -84,6 +86,10 @@ def main(argv=None) -> int:
         def _sample(r, p):
             return ddim_sample(schedule, lambda x, t: applyp(p, x, t),
                                shape, r, num_steps=args.num_steps)
+    elif args.method == "dpmpp":
+        def _sample(r, p):
+            return dpmpp_sample(schedule, lambda x, t: applyp(p, x, t),
+                                shape, r, num_steps=args.num_steps)
     else:
         def _sample(r, p):
             return ddpm_sample(schedule, lambda x, t: applyp(p, x, t),

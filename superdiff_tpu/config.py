@@ -87,6 +87,8 @@ class TrainingConfig:
     warmup_steps: int = 0
     ema_decay: float = 0.995            # training_logic.py:16
     loss_type: str = "mse"
+    loss_weighting: str = "none"       # none | min_snr (arXiv:2303.09556)
+    min_snr_gamma: float = 5.0
     cfg_drop_prob: float = 0.1
     class_filter: Optional[int] = None  # train.py:77 uses 1
     log_every: int = 1                  # epochs, training_logic.py:43

@@ -51,17 +51,43 @@ def predict_x0_from_eps(schedule: DiffusionSchedule,
     return (x_t - sqrt_1mab * eps) / sqrt_ab
 
 
+def loss_weights(schedule: DiffusionSchedule,
+                 t: jnp.ndarray,
+                 weighting: str = "none",
+                 min_snr_gamma: float = 5.0) -> jnp.ndarray:
+    """Per-timestep loss weights ``(B,)`` for epsilon-prediction training.
+
+    ``min_snr`` (Hang et al. 2023, arXiv:2303.09556 eq. 9, the
+    eps-prediction form): ``w(t) = min(SNR_t, gamma) / SNR_t`` with
+    ``SNR_t = ab_t / (1 - ab_t)``. Down-weights the easy low-noise
+    timesteps whose huge SNR otherwise dominates the gradient, trading a
+    slightly higher raw eps-MSE for faster convergence of the quantities
+    sampling cares about. Beyond the reference's uniform weighting
+    (``src/models/ddpm.py:20-24``).
+    """
+    if weighting == "none":
+        return jnp.ones_like(t, dtype=jnp.float32)
+    if weighting == "min_snr":
+        ab = schedule.alpha_bars[t].astype(jnp.float32)
+        snr = ab / (1.0 - ab)
+        return jnp.minimum(snr, min_snr_gamma) / snr
+    raise ValueError(f"unknown loss weighting: {weighting!r}")
+
+
 def p_losses(schedule: DiffusionSchedule,
              model_fn: ModelFn,
              x_start: jnp.ndarray,
              t: jnp.ndarray,
              rng: jax.Array,
              y: Optional[jnp.ndarray] = None,
-             loss_type: str = "mse") -> jnp.ndarray:
+             loss_type: str = "mse",
+             weighting: str = "none",
+             min_snr_gamma: float = 5.0) -> jnp.ndarray:
     """Epsilon-prediction loss at given timesteps.
 
-    Reference: ``src/models/ddpm.py:20-24`` (MSE only). ``huber`` added for
-    the extended capability surface.
+    Reference: ``src/models/ddpm.py:20-24`` (uniform MSE only). ``huber``
+    and min-SNR timestep weighting (:func:`loss_weights`) added for the
+    extended capability surface.
     """
     noise = jax.random.normal(rng, x_start.shape, dtype=x_start.dtype)
     x_noisy = q_sample(schedule, x_start, t, noise)
@@ -70,12 +96,18 @@ def p_losses(schedule: DiffusionSchedule,
     # Loss reduced in float32 even under bf16 compute.
     diff = (eps_hat.astype(jnp.float32) - noise.astype(jnp.float32))
     if loss_type == "mse":
-        return jnp.mean(diff ** 2)
+        per_px = diff ** 2
     elif loss_type == "huber":
-        return jnp.mean(jnp.where(jnp.abs(diff) < 1.0,
-                                  0.5 * diff ** 2,
-                                  jnp.abs(diff) - 0.5))
-    raise ValueError(f"unknown loss_type: {loss_type!r}")
+        per_px = jnp.where(jnp.abs(diff) < 1.0,
+                           0.5 * diff ** 2,
+                           jnp.abs(diff) - 0.5)
+    else:
+        raise ValueError(f"unknown loss_type: {loss_type!r}")
+    if weighting == "none":
+        return jnp.mean(per_px)
+    w = loss_weights(schedule, t, weighting, min_snr_gamma)   # (B,)
+    per_sample = jnp.mean(per_px.reshape(per_px.shape[0], -1), axis=1)
+    return jnp.mean(w * per_sample)
 
 
 def training_step(schedule: DiffusionSchedule,
@@ -83,7 +115,9 @@ def training_step(schedule: DiffusionSchedule,
                   x: jnp.ndarray,
                   rng: jax.Array,
                   y: Optional[jnp.ndarray] = None,
-                  loss_type: str = "mse") -> jnp.ndarray:
+                  loss_type: str = "mse",
+                  weighting: str = "none",
+                  min_snr_gamma: float = 5.0) -> jnp.ndarray:
     """One loss evaluation: sample ``t ~ U[0, T)`` per example, then losses.
 
     Reference: ``src/models/ddpm.py:26-29``.
@@ -91,4 +125,5 @@ def training_step(schedule: DiffusionSchedule,
     rng_t, rng_noise = jax.random.split(rng)
     t = jax.random.randint(rng_t, (x.shape[0],), 0, schedule.num_timesteps)
     return p_losses(schedule, model_fn, x, t, rng_noise, y=y,
-                    loss_type=loss_type)
+                    loss_type=loss_type, weighting=weighting,
+                    min_snr_gamma=min_snr_gamma)

@@ -124,7 +124,9 @@ def train(cfg: Config,
     step_fn = make_train_step(schedule, mesh=mesh, conditional=conditional,
                               cfg_drop_prob=t.cfg_drop_prob,
                               null_label=getattr(model, "null_label", 0),
-                              loss_type=t.loss_type)
+                              loss_type=t.loss_type,
+                              weighting=t.loss_weighting,
+                              min_snr_gamma=t.min_snr_gamma)
 
     # validation: EMA loss on the val split every eval_every epochs; the
     # best-val step is checkpointed separately so a late-training regression
@@ -132,8 +134,10 @@ def train(cfg: Config,
     # model. Closes the intent of the reference's dangling writers
     # (src/train.py:58-61 creates a SummaryWriter that never sees a scalar).
     eval_fn = make_eval_step(schedule, mesh=mesh, conditional=conditional,
-                             loss_type=t.loss_type) if t.eval_every > 0 \
-        else None
+                             loss_type=t.loss_type,
+                             weighting=t.loss_weighting,
+                             min_snr_gamma=t.min_snr_gamma) \
+        if t.eval_every > 0 else None
 
     def _val_batches():
         """Fixed-content validation stream (constant seed -> the same

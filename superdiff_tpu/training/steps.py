@@ -29,7 +29,9 @@ def make_train_step(schedule: DiffusionSchedule,
                     conditional: bool = False,
                     cfg_drop_prob: float = 0.0,
                     null_label: int = 0,
-                    loss_type: str = "mse") -> Callable:
+                    loss_type: str = "mse",
+                    weighting: str = "none",
+                    min_snr_gamma: float = 5.0) -> Callable:
     """Build the jitted train step.
 
     ``cfg_drop_prob``: probability of replacing each label with the null
@@ -51,9 +53,11 @@ def make_train_step(schedule: DiffusionSchedule,
                 y = jnp.where(drop, null_label, y)
             model_fn = lambda xt, t, yy: state.apply_fn(params, xt, t, yy)
             return loss_fn_impl(schedule, model_fn, x, rng, y=y,
-                                loss_type=loss_type)
+                                loss_type=loss_type, weighting=weighting,
+                                min_snr_gamma=min_snr_gamma)
         model_fn = lambda xt, t: state.apply_fn(params, xt, t)
-        return loss_fn_impl(schedule, model_fn, x, rng, loss_type=loss_type)
+        return loss_fn_impl(schedule, model_fn, x, rng, loss_type=loss_type,
+                            weighting=weighting, min_snr_gamma=min_snr_gamma)
 
     def step_fn(state: TrainState, batch) -> tuple:
         rng, step_rng = jax.random.split(state.rng)
@@ -97,7 +101,9 @@ def make_train_step(schedule: DiffusionSchedule,
 def make_eval_step(schedule: DiffusionSchedule,
                    mesh: Optional[Mesh] = None,
                    conditional: bool = False,
-                   loss_type: str = "mse") -> Callable:
+                   loss_type: str = "mse",
+                   weighting: str = "none",
+                   min_snr_gamma: float = 5.0) -> Callable:
     """Validation loss on EMA params (no grads, fixed fold-in RNG)."""
 
     def eval_fn(state: TrainState, batch) -> jnp.ndarray:
@@ -107,9 +113,12 @@ def make_eval_step(schedule: DiffusionSchedule,
             model_fn = lambda xt, t, yy: state.apply_fn(
                 state.ema_params, xt, t, yy)
             return loss_fn_impl(schedule, model_fn, x, rng,
-                                y=batch["label"], loss_type=loss_type)
+                                y=batch["label"], loss_type=loss_type,
+                                weighting=weighting,
+                                min_snr_gamma=min_snr_gamma)
         model_fn = lambda xt, t: state.apply_fn(state.ema_params, xt, t)
-        return loss_fn_impl(schedule, model_fn, x, rng, loss_type=loss_type)
+        return loss_fn_impl(schedule, model_fn, x, rng, loss_type=loss_type,
+                            weighting=weighting, min_snr_gamma=min_snr_gamma)
 
     if mesh is None or mesh.devices.size == 1:
         return jax.jit(eval_fn)

@@ -102,3 +102,46 @@ def test_training_step_jits(schedule, rng):
     x = jax.random.normal(rng, (4, 4, 4, 1))
     loss = f(x, rng)
     assert np.isfinite(float(loss))
+
+
+# --------------------------------------------------- min-SNR loss weighting ---
+
+def test_loss_weights_formula(schedule):
+    """min-SNR (arXiv:2303.09556): w = min(SNR, gamma)/SNR, SNR = ab/(1-ab).
+    High-SNR (low t) clamps to gamma/SNR < 1; low-SNR (high t) stays 1."""
+    import numpy as np
+    from superdiff_tpu.diffusion.process import loss_weights
+
+    t = jnp.arange(schedule.num_timesteps, dtype=jnp.int32)
+    w = np.asarray(loss_weights(schedule, t, "min_snr", 5.0))
+    ab = np.asarray(schedule.alpha_bars)
+    snr = ab / (1 - ab)
+    np.testing.assert_allclose(w, np.minimum(snr, 5.0) / snr, rtol=1e-5)
+    assert w[0] < 1e-2        # t=0: enormous SNR -> heavily down-weighted
+    assert w[-1] == 1.0       # t=T-1: SNR << gamma -> unweighted
+    uniform = np.asarray(loss_weights(schedule, t, "none"))
+    np.testing.assert_array_equal(uniform, np.ones_like(uniform))
+
+
+def test_p_losses_weighted_vs_uniform(schedule, rng):
+    """Weighted loss equals the uniform loss when all weights are 1 (high-t
+    batch) and differs on a low-t batch; unknown weighting raises."""
+    import numpy as np
+    import pytest
+    from superdiff_tpu.diffusion.process import p_losses
+
+    x = jax.random.normal(rng, (4, 8, 8, 1))
+    model = lambda xt, t: 0.1 * xt
+
+    t_hi = jnp.full((4,), schedule.num_timesteps - 1, dtype=jnp.int32)
+    a = p_losses(schedule, model, x, t_hi, rng)
+    b = p_losses(schedule, model, x, t_hi, rng, weighting="min_snr")
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+    t_lo = jnp.zeros((4,), dtype=jnp.int32)
+    u = p_losses(schedule, model, x, t_lo, rng)
+    w = p_losses(schedule, model, x, t_lo, rng, weighting="min_snr")
+    assert float(w) < 0.02 * float(u)   # t=0 weight ~ gamma/SNR << 1
+
+    with pytest.raises(ValueError):
+        p_losses(schedule, model, x, t_lo, rng, weighting="p2")

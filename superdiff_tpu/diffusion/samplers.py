@@ -255,6 +255,28 @@ def ddim_sample(schedule: DiffusionSchedule,
     return x_final, frames
 
 
+def dpmpp_timesteps(T: int, num_steps: int, alpha_bars,
+                    spacing: str = "logsnr") -> np.ndarray:
+    """Node sub-sequence for the ODE solver, descending, ending at 0.
+
+    ``logsnr`` places nodes uniformly in ``lambda = 0.5 log(ab/(1-ab))`` —
+    where the solver's local error actually lives — instead of uniformly in
+    t. Measured on the analytic Gaussian ODE (tests/test_samplers.py):
+    10-step RMSE 0.290 (uniform-t) -> 0.080 (logsnr), 20-step 0.072 ->
+    0.030; i.e. logsnr-10 matches uniform-20. Snapping to the discrete grid
+    can merge neighbors, so the result may be shorter than ``num_steps``.
+    """
+    if spacing == "uniform":
+        return ddim_timesteps(T, num_steps)
+    if spacing != "logsnr":
+        raise ValueError(f"unknown t_spacing: {spacing!r}")
+    ab = np.asarray(alpha_bars, dtype=np.float64)[:T]
+    lam = 0.5 * np.log(ab / (1.0 - ab))
+    targets = np.linspace(lam[T - 1], lam[0], num_steps)
+    idx = np.abs(lam[None, :] - targets[:, None]).argmin(axis=1)
+    return np.unique(idx)[::-1].copy()
+
+
 def dpmpp_sample(schedule: DiffusionSchedule,
                  model_fn: ModelFn,
                  shape: Tuple[int, ...],
@@ -265,6 +287,7 @@ def dpmpp_sample(schedule: DiffusionSchedule,
                  null_label: int = 0,
                  clip_x0: bool = True,
                  num_frames: int = 0,
+                 t_spacing: str = "logsnr",
                  dtype=jnp.float32) -> jnp.ndarray:
     """DPM-Solver++(2M) — second-order multistep ODE sampling
     (Lu et al. 2022, arXiv:2211.01095, data-prediction variant).
@@ -287,9 +310,15 @@ def dpmpp_sample(schedule: DiffusionSchedule,
     (first-order on the first step). The final transition targets the clean
     manifold (``sigma = 0``) first-order — the standard ``lower_order_final``
     stabilization for <15-step runs — so the last update returns the t=0
-    x0 prediction exactly. Model calls: exactly ``num_steps``.
+    x0 prediction exactly. Model calls: at most ``num_steps``
+    (:func:`dpmpp_timesteps` may merge neighboring grid nodes).
+
+    ``t_spacing="logsnr"`` (default) spaces nodes uniformly in log-SNR —
+    measured 2.4-3.6x lower ODE error than uniform-t at 10-20 steps
+    (:func:`dpmpp_timesteps`).
     """
-    ts_np = ddim_timesteps(schedule.num_timesteps, num_steps)
+    ts_np = dpmpp_timesteps(schedule.num_timesteps, num_steps,
+                            schedule.alpha_bars, t_spacing)
     n = len(ts_np)
     ab = np.asarray(schedule.alpha_bars, dtype=np.float64)[ts_np]
     alpha = np.sqrt(ab)

@@ -261,14 +261,14 @@ def test_dpmpp_beats_ddim_on_gaussian_ode(rng):
     # exact solution of the flow ODE from t=T-1 down (noise-free endpoint)
     exact = np.asarray(x_T) * np.sqrt(s2) / np.sqrt(s2 * ab_T + (1 - ab_T))
 
-    def err(fn, steps):
+    def err(fn, steps, **kw):
         # both samplers split rng identically: first split draws x_T
         got = fn(sched, gaussian_eps, shape, rng, num_steps=steps,
-                 clip_x0=False)
+                 clip_x0=False, **kw)
         return float(jnp.sqrt(jnp.mean((got - exact) ** 2)))
 
-    e_dpm_10 = err(dpmpp_sample, 10)
-    e_dpm_20 = err(dpmpp_sample, 20)
+    e_dpm_10 = err(dpmpp_sample, 10, t_spacing="uniform")
+    e_dpm_20 = err(dpmpp_sample, 20, t_spacing="uniform")
     e_ddim_20 = err(ddim_sample, 20)
     e_ddim_50 = err(ddim_sample, 50)
     # second-order: doubling steps cuts error ~4x (measured 0.290/0.072)
@@ -277,6 +277,12 @@ def test_dpmpp_beats_ddim_on_gaussian_ode(rng):
     assert e_dpm_20 < 0.6 * e_ddim_20, (e_dpm_20, e_ddim_20)
     # the headline: 20 DPM++ calls land where ~50 DDIM calls do
     assert e_dpm_20 < 1.3 * e_ddim_50, (e_dpm_20, e_ddim_50)
+    # log-SNR node spacing (the default): measured 0.080 / 0.030 — the
+    # 10-step run must land at least as well as uniform-t at 20 steps
+    e_log_10 = err(dpmpp_sample, 10)
+    e_log_20 = err(dpmpp_sample, 20)
+    assert e_log_10 < 1.2 * e_dpm_20, (e_log_10, e_dpm_20)
+    assert e_log_20 < 0.6 * e_dpm_20, (e_log_20, e_dpm_20)
 
 
 def test_dpmpp_frames_and_guidance(schedule, rng):

@@ -40,8 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--method", choices=["ddpm", "ddim", "dpmpp"],
                    default="ddpm")
     p.add_argument("--num-steps", type=int, default=None,
-                   help="DDIM steps (default 50) or DDPM override")
-    p.add_argument("--eta", type=float, default=0.0)
+                   help="solver steps: DDIM default 50, dpmpp default 20 "
+                        "(ignored by ddpm, which always runs the full T)")
+    p.add_argument("--eta", type=float, default=0.0,
+                   help="DDIM stochasticity (0 = deterministic); "
+                        "rejected with --method dpmpp (pure ODE solver)")
     p.add_argument("--label", type=int, default=None,
                    help="class label (default: unconditional/null)")
     p.add_argument("--guidance", type=float, default=1.0)
@@ -159,6 +162,10 @@ def main(argv=None) -> int:
                 return ddim_sample(schedule, fn, shape, r,
                                    num_steps=steps, eta=args.eta, **extra)
         elif args.method == "dpmpp":
+            if args.eta:
+                raise SystemExit(
+                    "--eta only applies to --method ddim; DPM-Solver++ is "
+                    "a deterministic ODE solver (no stochasticity knob)")
             steps = args.num_steps or 20
 
             def _single(r, p):

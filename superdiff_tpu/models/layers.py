@@ -106,8 +106,7 @@ class NormAct(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  film_scale: Optional[jnp.ndarray] = None,
-                 film_shift: Optional[jnp.ndarray] = None,
-                 apply_silu: bool = True) -> jnp.ndarray:
+                 film_shift: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         from superdiff_tpu.ops.packed_norm import groupnorm_film_silu
 
         C = x.shape[-1]
@@ -116,7 +115,7 @@ class NormAct(nn.Module):
         return groupnorm_film_silu(
             x, gamma, beta, self.num_groups, eps=self.epsilon,
             film_scale=film_scale, film_shift=film_shift,
-            out_dtype=self.dtype, apply_silu=apply_silu, pack=True)
+            out_dtype=self.dtype, pack=True)
 
 
 class ResBlock(nn.Module):

@@ -167,7 +167,8 @@ def _pallas_gn_silu(x, gamma, beta, scale, shift, num_groups: int,
       shift.astype(jnp.float32).reshape(B, 1, C))
 
 
-def _xla_gn_silu(x, gamma, beta, scale, shift, num_groups: int, eps: float):
+def _xla_gn_silu(x, gamma, beta, scale, shift, num_groups: int, eps: float,
+                 out_dtype=None):
     """Reference implementation (also the vjp path).
 
     Single-pass statistics (E[x^2] - E[x]^2, like flax's ``_compute_stats``)
@@ -194,7 +195,7 @@ def _xla_gn_silu(x, gamma, beta, scale, shift, num_groups: int, eps: float):
         mul = mul * fs
         off = off * fs + shift.astype(jnp.float32)
     y = x32 * mul[:, None, None, :] + off[:, None, None, :]
-    return (y * jax.nn.sigmoid(y)).astype(x.dtype)
+    return (y * jax.nn.sigmoid(y)).astype(out_dtype or x.dtype)
 
 
 def fused_groupnorm_silu(x: jnp.ndarray,

@@ -1,5 +1,9 @@
 """Lane-packed GroupNorm(+FiLM)+SiLU chain — XLA-native, no custom kernel.
 
+Covers the same reference chain as ``ops/fused_norm.py``: the GN/SiLU
+prologue of every UNet block (``/root/reference/src/models/unet.py:24-31``),
+extended with FiLM conditioning for the flagship CondUNet.
+
 Why this exists: the round-3 xplane profile (BASELINE.md) shows 52% of the
 flagship 256² denoiser step in GroupNorm stats+normalize fusions, dominated
 by the 128²-resolution C=64 level. TPU arrays tile their two minor dims as
@@ -18,7 +22,11 @@ trades against the half-empty-tile tax (measured on-chip before enabling:
 The chain is mathematically identical to
 ``nn.GroupNorm -> *(1+scale)+shift -> silu`` (same per-group statistics —
 folding W into C permutes *within* the reduction set of each (batch, group)
-— and the affine collapse gamma*(1+s), beta*(1+s)+t is exact in f32).
+— and the affine collapse gamma*(1+s), beta*(1+s)+t is exact in f32). The
+unfolded path *is* ``ops/fused_norm._xla_gn_silu`` (one shared core); the
+folded path repeats its exact op sequence on the folded view, including the
+``max(var, 0)`` clamp that keeps near-constant activations finite under
+single-pass E[x²]-E[x]² statistics.
 
 Enable with ``SUPERDIFF_TPU_LANE_PACK=1`` (read at trace time, like the
 other dispatch knobs in ``ops/``). Stats always reduce in float32.
@@ -56,21 +64,22 @@ def groupnorm_film_silu(x: jnp.ndarray,
                         film_scale: Optional[jnp.ndarray] = None,
                         film_shift: Optional[jnp.ndarray] = None,
                         out_dtype: Optional[jnp.dtype] = None,
-                        apply_silu: bool = True,
                         pack: Optional[bool] = None) -> jnp.ndarray:
-    """GroupNorm + optional FiLM + optional SiLU on NHWC, lane-packable.
+    """GroupNorm + optional FiLM + SiLU on NHWC, lane-packable.
 
     Equivalent to::
 
         h = nn.GroupNorm(num_groups, epsilon=eps, dtype=out_dtype)(x)
         h = h * (1 + film_scale[:, None, None, :]) \
             + film_shift[:, None, None, :]      # if FiLM given
-        h = nn.silu(h)                           # if apply_silu
+        h = nn.silu(h)
 
     ``film_scale``/``film_shift``: per-sample ``(B, C)`` or None.
     ``pack=None`` reads SUPERDIFF_TPU_LANE_PACK; the fold only engages for
     C < 128 with a compatible W, so it is shape-safe to leave on globally.
     """
+    from superdiff_tpu.ops.fused_norm import _xla_gn_silu
+
     B, H, W, C = x.shape
     if C % num_groups:
         raise ValueError(f"channels {C} not divisible by groups {num_groups}")
@@ -80,42 +89,29 @@ def groupnorm_film_silu(x: jnp.ndarray,
         pack = _lane_pack_enabled()
     f = _fold_factor(W, C) if pack else 1
 
-    # --- per-(batch, group) statistics, reduced in f32 -----------------
-    if f > 1:
-        xv = x.reshape(B, H, W // f, f, num_groups, cg)
-    else:
-        xv = x.reshape(B, H, W, 1, num_groups, cg)
-    xs = xv.astype(jnp.float32)
-    mean = xs.mean(axis=(1, 2, 3, 5))                        # (B, G)
-    var = jnp.square(xs).mean(axis=(1, 2, 3, 5)) - jnp.square(mean)
-    rstd = jax.lax.rsqrt(var + eps)                          # (B, G)
+    if f == 1:
+        return _xla_gn_silu(x, gamma, beta, film_scale, film_shift,
+                            num_groups, eps, out_dtype=nd)
 
-    # --- collapse GN affine + FiLM into one per-(B, C) scale/bias ------
-    gamma = gamma.astype(jnp.float32)[None, :]               # (1, C)
-    beta = beta.astype(jnp.float32)[None, :]
+    # Folded path: _xla_gn_silu's op sequence on the (B, H, W/f, f*C)
+    # lane-full view. Statistics are identical (the fold permutes elements
+    # within each (batch, group) reduction set).
+    xf = x.reshape(B, H, W // f, f * C)
+    x32 = xf.astype(jnp.float32)
+    xg = x32.reshape(B, H, W // f, f, num_groups, cg)
+    mean = jnp.mean(xg, axis=(1, 2, 3, 5))                    # (B, G)
+    mean2 = jnp.mean(xg * xg, axis=(1, 2, 3, 5))
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    mean_c = jnp.repeat(mean, cg, axis=-1)                    # (B, C)
+    inv_c = jnp.repeat(jax.lax.rsqrt(var + eps), cg, axis=-1)
+    mul = inv_c * gamma.astype(jnp.float32)
+    off = beta.astype(jnp.float32) - mean_c * mul
     if film_scale is not None:
-        g1 = 1.0 + film_scale.astype(jnp.float32)            # (B, C)
-        eff_scale = gamma * g1
-        eff_bias = beta * g1 + film_shift.astype(jnp.float32)
-    else:
-        eff_scale = jnp.broadcast_to(gamma, (B, C))
-        eff_bias = jnp.broadcast_to(beta, (B, C))
-    mu_c = jnp.repeat(mean, cg, axis=1)                      # (B, C)
-    rs_c = jnp.repeat(rstd, cg, axis=1)
-    a = rs_c * eff_scale                                     # (B, C)
-    b = eff_bias - mu_c * a
-
-    # --- one elementwise pass on the (possibly) lane-packed view -------
-    if f > 1:
-        xf = x.reshape(B, H, W // f, f * C)
-        af = jnp.tile(a, (1, f)).astype(nd)[:, None, None, :]
-        bf = jnp.tile(b, (1, f)).astype(nd)[:, None, None, :]
-        y = xf.astype(nd) * af + bf
-        if apply_silu:
-            y = jax.nn.silu(y)
-        return y.reshape(B, H, W, C)
-    y = (x.astype(nd) * a.astype(nd)[:, None, None, :]
-         + b.astype(nd)[:, None, None, :])
-    if apply_silu:
-        y = jax.nn.silu(y)
-    return y
+        fs = 1.0 + film_scale.astype(jnp.float32)
+        mul = mul * fs
+        off = off * fs + film_shift.astype(jnp.float32)
+    mul_f = jnp.tile(mul, (1, f))[:, None, None, :]           # (B,1,1,fC)
+    off_f = jnp.tile(off, (1, f))[:, None, None, :]
+    y = x32 * mul_f + off_f
+    y = (y * jax.nn.sigmoid(y)).astype(nd)
+    return y.reshape(B, H, W, C)

@@ -352,7 +352,13 @@ def train(cfg: Config,
         # Always finalize writers: Orbax saves are async, and an exception
         # between save() and close() would strand *.orbax-checkpoint-tmp
         # dirs that restore() cannot read (the commit thread then dies at
-        # interpreter shutdown with "cannot schedule new futures").
+        # interpreter shutdown with "cannot schedule new futures"). A close
+        # failure is only swallowed (logged) when another exception is
+        # already propagating; on a clean exit it must surface — a failed
+        # final Orbax commit is not a successful run.
+        import sys as _sys
+        exc_in_flight = _sys.exc_info()[0] is not None
+        close_err: Optional[BaseException] = None
         for closer in (ckpt.close,
                        ckpt_best.close if ckpt_best is not None else None,
                        metrics_log.close):
@@ -360,8 +366,11 @@ def train(cfg: Config,
                 continue
             try:
                 closer()
-            except Exception:  # pragma: no cover - best-effort teardown
+            except Exception as e:  # pragma: no cover - teardown errors
                 logger.exception("finalizing a writer failed")
+                close_err = close_err or e
+        if close_err is not None and not exc_in_flight:
+            raise close_err
     summary["steps"] = int(state.step)
     summary["stopped_early"] = float(stopped)
     return summary

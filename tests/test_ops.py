@@ -369,3 +369,21 @@ def test_lane_pack_model_parity(rng, monkeypatch):
     out_packed = model.apply(params, x, t, y)
     np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_packed),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_packed_norm_finite_on_near_constant_input(rng):
+    """Single-pass E[x^2]-E[x]^2 can go negative past eps on near-constant
+    large-magnitude activations (catastrophic cancellation in f32); the
+    clamp must keep the packed path finite exactly like flax GroupNorm."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from superdiff_tpu.ops.packed_norm import groupnorm_film_silu
+
+    B, H, W, C, G = 1, 8, 8, 64, 32
+    x = 600.0 + 1e-3 * jax.random.normal(rng, (B, H, W, C), jnp.float32)
+    gamma = jnp.ones((C,))
+    beta = jnp.zeros((C,))
+    for pack in (False, True):
+        y = groupnorm_film_silu(x, gamma, beta, G, pack=pack)
+        assert np.isfinite(np.asarray(y)).all(), f"pack={pack}"

@@ -41,7 +41,7 @@ def main():
     t0 = jnp.zeros((BATCH,), dtype=jnp.int32)
     y = jnp.zeros((BATCH,), dtype=jnp.int32)
     params = host_init(model.init, jax.random.PRNGKey(0), x, t0, y)
-    params = apply_sampling_policy(params)
+    model, params = apply_sampling_policy(model, params)
     schedule = make_schedule(T)
     fn = lambda xx, tt, yy: model.apply(params, xx, tt, yy)
 

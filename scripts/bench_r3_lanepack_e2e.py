@@ -38,7 +38,7 @@ def main():
         t0 = jnp.zeros((BATCH,), dtype=jnp.int32)
         y = jnp.zeros((BATCH,), dtype=jnp.int32)
         params = host_init(model.init, jax.random.PRNGKey(0), xz, t0, y)
-        params = apply_sampling_policy(params)
+        model, params = apply_sampling_policy(model, params)
         x0 = jax.random.normal(jax.random.PRNGKey(1), shape)
 
         for pack in ("0", "1"):

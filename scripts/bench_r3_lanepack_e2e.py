@@ -1,8 +1,12 @@
 """End-to-end A/B of SUPERDIFF_TPU_LANE_PACK on the flagship presets.
 
-Times a denoiser-only scan (200 steps, batch 16 — the sampler is
-denoiser-bound, BASELINE.md ablation) with the lane-packed norm chain off
-vs on, for the presets whose 128² C=64 level the profile indicts.
+HISTORICAL: this measured the model-path dispatch that existed up to the
+round-3 lane-pack decision. Result (one v5e chip, recorded in BASELINE.md):
+packed LOSES end-to-end — attn256d 9.46 -> 11.40 ms/step, eff256
+8.62 -> 10.56 — so the dispatch was removed from ResBlock/CondUNet and the
+op kept standalone (ops/packed_norm.py). Re-running this script on current
+code times the identical unpacked model twice, since the env flag no
+longer reaches the model path.
 
     python scripts/bench_r3_lanepack_e2e.py > /tmp/r3_lp_e2e.jsonl 2>/tmp/r3_lp_e2e.log
 """

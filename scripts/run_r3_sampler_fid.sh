@@ -7,7 +7,6 @@
 #   ddim-100      (the quality_256 baseline protocol)
 #   dpmpp-20      (the round-3 fast solver, log-SNR nodes)
 #   dpmpp-10      (the aggressive point: 10 model calls)
-#   ddim-100 + SUPERDIFF_TPU_LANE_PACK=1  (packed norms: must match ddim-100)
 #
 # Usage: bash scripts/run_r3_sampler_fid.sh [EPOCHS]
 #        RUN_DIR=data/outputs/TB/experiment_q256_run_q_attn256d_tb \
@@ -56,5 +55,4 @@ eval_one () {  # name method steps [env...]
 eval_one ddim100 ddim 100
 eval_one dpmpp20 dpmpp 20
 eval_one dpmpp10 dpmpp 10
-SUPERDIFF_TPU_LANE_PACK=1 eval_one ddim100_lanepack ddim 100
 echo "sampler FID A/B done: $RUN_DIR/eval_*.json"

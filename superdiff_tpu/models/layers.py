@@ -98,7 +98,14 @@ class NormAct(nn.Module):
     passes run on a W-folded lane-full view, halving the tile-padding HBM
     tax the round-3 profile charges to the 128² C=64 norm chains. Parameter
     layout identical to ``nn.GroupNorm`` (``scale``/``bias``), so
-    checkpoints are interchangeable with the unfused modules."""
+    checkpoints are interchangeable with the unfused modules.
+
+    Standalone, parity-tested op wrapper only: the on-chip end-to-end A/B
+    (BASELINE.md round-3 lane-pack table) measured the folded chain ~20%
+    SLOWER inside the full UNet — the fold/unfold land on fusion boundaries
+    around the convs, and the re-tiling copies cost more than the
+    half-empty-tile tax they remove. The production ResBlock/UNet carry no
+    dispatch to it (same resolution as ``ops/fused_norm.py``)."""
     num_groups: int
     dtype: jnp.dtype = jnp.float32
     epsilon: float = 1e-5
@@ -126,10 +133,10 @@ class ResBlock(nn.Module):
     scale-shift conditioning (Improved DDPM, arXiv:2102.09672 app. A) instead
     of a plain additive bias. The norm->(FiLM)->SiLU prologues run as plain
     XLA ops (bf16 under the inference ``norm_dtype`` policy, which XLA
-    fuses into the surrounding convs — measured faster than the standalone
-    fused Pallas kernel, see :class:`GroupNormSiLU`). With
-    ``SUPERDIFF_TPU_LANE_PACK=1`` they dispatch to :class:`NormAct`'s
-    W-folded lane-full chain instead (same math, same param tree).
+    fuses into the surrounding convs — measured faster than both the
+    standalone fused Pallas kernel (see :class:`GroupNormSiLU`) and the
+    lane-packed W-fold chain (``ops/packed_norm.py``; on-chip e2e A/B in
+    BASELINE.md lost ~20%, so the model path carries no dispatch for it).
     """
     out_channels: int
     compute_dtype: jnp.dtype = jnp.float32
@@ -142,20 +149,14 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
-        from superdiff_tpu.ops.packed_norm import _lane_pack_enabled
-
         in_ch = x.shape[-1]
         g1 = num_groups_for(in_ch, self.groups)
         g2 = num_groups_for(self.out_channels, self.groups)
         nd = self.norm_dtype
-        packed = _lane_pack_enabled()
 
-        if packed:
-            h = NormAct(num_groups=g1, dtype=nd, name="norm_0")(x)
-        else:
-            h = nn.GroupNorm(num_groups=g1, epsilon=1e-5, dtype=nd,
-                             name="norm_0")(x)
-            h = nn.silu(h)
+        h = nn.GroupNorm(num_groups=g1, epsilon=1e-5, dtype=nd,
+                         name="norm_0")(x)
+        h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), dtype=self.compute_dtype,
                     name="conv_0")(h.astype(self.compute_dtype))
 
@@ -164,15 +165,11 @@ class ResBlock(nn.Module):
                         name="emb_proj")(nn.silu(emb.astype(jnp.float32)))
         scale, shift = jnp.split(cond, 2, axis=-1)          # (B, C) each
 
-        if packed:
-            h = NormAct(num_groups=g2, dtype=nd, name="norm_1")(
-                h, film_scale=scale, film_shift=shift)
-        else:
-            h = nn.GroupNorm(num_groups=g2, epsilon=1e-5, dtype=nd,
-                             name="norm_1")(h)
-            h = (h * (1.0 + scale.astype(nd)[:, None, None, :])
-                 + shift.astype(nd)[:, None, None, :])
-            h = nn.silu(h)
+        h = nn.GroupNorm(num_groups=g2, epsilon=1e-5, dtype=nd,
+                         name="norm_1")(h)
+        h = (h * (1.0 + scale.astype(nd)[:, None, None, :])
+             + shift.astype(nd)[:, None, None, :])
+        h = nn.silu(h)
         h = h.astype(self.compute_dtype)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)

@@ -156,16 +156,10 @@ class CondUNet(nn.Module):
                 resolution *= 2
         assert not skips
 
-        from superdiff_tpu.ops.packed_norm import _lane_pack_enabled
         g_out = num_groups_for(h.shape[-1], self.groups)
-        if _lane_pack_enabled():
-            from superdiff_tpu.models.layers import NormAct
-            h = NormAct(num_groups=g_out, dtype=self.norm_dtype,
-                        name="out_norm")(h)
-        else:
-            h = nn.GroupNorm(num_groups=g_out, epsilon=1e-5,
-                             dtype=self.norm_dtype, name="out_norm")(h)
-            h = nn.silu(h)
+        h = nn.GroupNorm(num_groups=g_out, epsilon=1e-5,
+                         dtype=self.norm_dtype, name="out_norm")(h)
+        h = nn.silu(h)
         h = nn.Conv(self.out_channels * p * p, (3, 3), dtype=jnp.float32,
                     kernel_init=nn.initializers.zeros, name="out_conv")(h)
         if p > 1:

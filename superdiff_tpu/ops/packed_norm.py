@@ -28,8 +28,16 @@ folded path repeats its exact op sequence on the folded view, including the
 ``max(var, 0)`` clamp that keeps near-constant activations finite under
 single-pass E[x²]-E[x]² statistics.
 
-Enable with ``SUPERDIFF_TPU_LANE_PACK=1`` (read at trace time, like the
-other dispatch knobs in ``ops/``). Stats always reduce in float32.
+Verdict (round-3 on-chip e2e A/B, BASELINE.md lane-pack table): inside the
+full UNet the folded chain is ~20% SLOWER (attn256d 9.46 -> 11.40 ms/step,
+eff256 8.62 -> 10.56) — the fold/unfold sit on fusion boundaries against
+the neighboring convs, and XLA's re-tiling copies there cost more than the
+half-empty-tile tax they remove. Same resolution as ``ops/fused_norm.py``:
+the op stays as a parity-tested standalone (``models/layers.NormAct``
+wraps it; value+grad parity in tests/test_ops.py), and the production
+model path carries no dispatch to it. ``SUPERDIFF_TPU_LANE_PACK=1`` only
+affects direct callers that leave ``pack=None``. Stats always reduce in
+float32.
 """
 
 from __future__ import annotations

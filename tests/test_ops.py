@@ -341,34 +341,47 @@ def test_packed_norm_matches_flax_groupnorm(rng):
                                rtol=2e-5, atol=2e-5)
 
 
-def test_lane_pack_model_parity(rng, monkeypatch):
-    """SUPERDIFF_TPU_LANE_PACK=1 must not change CondUNet outputs (same
-    param tree, same math — only the on-device data layout of the norm
-    chain differs). Checkpoint interchangeability is the load-bearing
-    property: the flag must be flippable on a trained model."""
+def test_normact_module_matches_groupnorm_chain(rng):
+    """The standalone :class:`NormAct` module (lane-packed chain; the
+    production model path carries no dispatch to it after the on-chip e2e
+    A/B — BASELINE.md) must match the plain GroupNorm->FiLM->SiLU chain in
+    value AND gradient, with the ``nn.GroupNorm`` param layout
+    (``scale``/``bias``) so checkpoints stay interchangeable."""
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from superdiff_tpu.models.presets import build_model
+    import flax.linen as nn
+    from superdiff_tpu.models.layers import NormAct
 
-    model = build_model("eff256", num_classes=2, compute_dtype=jnp.float32,
-                        base_channels=16)
-    x = jax.random.normal(rng, (2, 64, 64, 1), jnp.float32)
-    t = jnp.array([3, 40], dtype=jnp.int32)
-    y = jnp.array([0, 1], dtype=jnp.int32)
+    B, H, W, C, G = 2, 8, 16, 32, 8   # C<128, W even -> fold engages
+    x = jax.random.normal(rng, (B, H, W, C), jnp.float32)
+    scale = 0.1 * jax.random.normal(jax.random.fold_in(rng, 1), (B, C))
+    shift = 0.1 * jax.random.normal(jax.random.fold_in(rng, 2), (B, C))
 
-    monkeypatch.delenv("SUPERDIFF_TPU_LANE_PACK", raising=False)
-    params = model.init(jax.random.fold_in(rng, 1), x, t, y)
-    out_plain = model.apply(params, x, t, y)
+    packed = NormAct(num_groups=G)
+    params = packed.init(jax.random.fold_in(rng, 3), x, scale, shift)
+    plain = nn.GroupNorm(num_groups=G, epsilon=1e-5)
+    # identical param layout: NormAct params load into nn.GroupNorm as-is
+    ref_params = {"params": {"scale": params["params"]["scale"],
+                             "bias": params["params"]["bias"]}}
 
-    monkeypatch.setenv("SUPERDIFF_TPU_LANE_PACK", "1")
-    # param tree must be identical (checkpoints interchangeable)
-    params_packed = model.init(jax.random.fold_in(rng, 1), x, t, y)
-    assert (jax.tree_util.tree_structure(params)
-            == jax.tree_util.tree_structure(params_packed))
-    out_packed = model.apply(params, x, t, y)
-    np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_packed),
-                               rtol=2e-4, atol=2e-4)
+    def f_packed(xx):
+        return packed.apply(params, xx, scale, shift).sum()
+
+    def f_plain(xx):
+        h = plain.apply(ref_params, xx)
+        h = h * (1.0 + scale[:, None, None, :]) + shift[:, None, None, :]
+        return nn.silu(h).sum()
+
+    expected = nn.silu(plain.apply(ref_params, x)
+                       * (1.0 + scale[:, None, None, :])
+                       + shift[:, None, None, :])
+    np.testing.assert_allclose(
+        np.asarray(packed.apply(params, x, scale, shift)),
+        np.asarray(expected), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jax.grad(f_packed)(x)),
+                               np.asarray(jax.grad(f_plain)(x)),
+                               rtol=2e-4, atol=2e-5)
 
 
 def test_packed_norm_finite_on_near_constant_input(rng):

@@ -166,27 +166,3 @@ def test_grad_reduction_across_devices(schedule, devices8):
         np.testing.assert_array_equal(vals[0], v)
 
 
-def test_train_step_lane_pack_parity(schedule, monkeypatch):
-    """One full donated train step (loss+grads+Adam+EMA) must produce the
-    same updated params with SUPERDIFF_TPU_LANE_PACK on and off — the
-    training-side guarantee that the packed norm chain is the same math
-    (sampling-side parity is pinned in tests/test_ops.py)."""
-    model = _tiny_model()   # C=8/16 at W=16/8 -> fold engages (f*C<=128)
-    batch = _batch()
-
-    def one_step():
-        state = _make_state(model)
-        step = make_train_step(schedule, conditional=True)
-        new_state, m = step(state, batch)
-        return new_state, m
-
-    monkeypatch.delenv("SUPERDIFF_TPU_LANE_PACK", raising=False)
-    s0, m0 = one_step()
-    monkeypatch.setenv("SUPERDIFF_TPU_LANE_PACK", "1")
-    s1, m1 = one_step()
-    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
-                               rtol=1e-5, atol=1e-6)
-    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
-                    jax.tree_util.tree_leaves(s1.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-5)

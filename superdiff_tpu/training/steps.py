@@ -31,12 +31,18 @@ def make_train_step(schedule: DiffusionSchedule,
                     null_label: int = 0,
                     loss_type: str = "mse",
                     weighting: str = "none",
-                    min_snr_gamma: float = 5.0) -> Callable:
+                    min_snr_gamma: float = 5.0,
+                    state_shardings=None) -> Callable:
     """Build the jitted train step.
 
     ``cfg_drop_prob``: probability of replacing each label with the null
     label during training — classifier-free guidance training (only
     meaningful when ``conditional``).
+
+    ``state_shardings``: optional sharding pytree for the TrainState
+    (``parallel.tp.state_shardings``) — enables tensor-parallel execution
+    over the mesh's ``model`` axis on top of batch data parallelism; the
+    default replicates the state (pure DP, SURVEY.md §2.4's deliverable).
 
     Returns ``step_fn(state, batch) -> (state, metrics)`` where ``batch`` is
     ``{"image": (B,H,W,C)}`` plus ``{"label": (B,)}`` when conditional.
@@ -90,10 +96,11 @@ def make_train_step(schedule: DiffusionSchedule,
     batch_shardings = {"image": data}
     if conditional:
         batch_shardings["label"] = data
+    state_sh = repl if state_shardings is None else state_shardings
     return jax.jit(
         step_fn,
-        in_shardings=(repl, batch_shardings),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, batch_shardings),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )
 

@@ -1,0 +1,159 @@
+"""Serving subsystem tests (CPU): micro-batching, HTTP app, encoders.
+
+The reference has no serving surface at all (``src/sampling.py`` is an
+empty stub, SURVEY.md §2.3); these pin the new online path: fixed-shape
+executables, deterministic request coalescing (autostart=False +
+step_once), per-slot class labels, and the stdlib HTTP app end-to-end on
+an ephemeral port.
+"""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from superdiff_tpu.diffusion import make_schedule
+from superdiff_tpu.models import CondUNet
+from superdiff_tpu.serve import (SamplerService, SampleSpec, encode_images,
+                                 make_http_server)
+
+RES = 16
+B = 4
+
+
+def _model_params():
+    model = CondUNet(base_channels=8, channel_mults=(1, 2),
+                     num_res_blocks=1, attn_resolutions=(), num_classes=2,
+                     time_emb_dim=16, groups=4)
+    x = jnp.zeros((B, RES, RES, 1))
+    t = jnp.zeros((B,), jnp.int32)
+    y = jnp.zeros((B,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t, y)
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def service():
+    model, params = _model_params()
+    svc = SamplerService(model, make_schedule(20), params, resolution=RES,
+                         conditional=True, batch_size=B, max_wait_ms=5.0,
+                         autostart=False)
+    yield svc
+    svc.close()
+
+
+FAST = SampleSpec(method="ddim", steps=2)
+
+
+def test_validation(service):
+    with pytest.raises(ValueError):
+        service.submit(B + 1, spec=FAST)               # over capacity
+    with pytest.raises(ValueError):
+        service.submit(1, spec=SampleSpec(method="nope"))
+    with pytest.raises(ValueError):
+        service.submit(1, spec=SampleSpec(method="dpmpp", eta=0.5))
+    with pytest.raises(ValueError):
+        service.submit(1, spec=SampleSpec(steps=999))  # > T
+
+
+def test_coalescing_and_slicing(service):
+    r1 = service.submit(2, label=0, spec=FAST, seed=7)
+    r2 = service.submit(2, label=1, spec=FAST)
+    served = service.step_once()
+    assert served == 2
+    assert service.stats["batches"] >= 1
+    assert service.stats["coalesced"] >= 1
+    for r in (r1, r2):
+        assert r.done.is_set() and r.error is None
+        assert r.result.shape == (2, RES, RES, 1)
+        assert np.isfinite(r.result).all()
+    # both rode ONE launch (same rng) but different class labels -> the
+    # per-slot y vector must make the outputs differ
+    assert not np.allclose(r1.result, r2.result)
+
+
+def test_specs_do_not_mix(service):
+    slow = SampleSpec(method="ddim", steps=3)
+    ra = service.submit(1, spec=FAST)
+    rb = service.submit(1, spec=slow)
+    before = service.stats["batches"]
+    assert service.step_once() == 1          # only the FAST one
+    assert ra.done.is_set() and not rb.done.is_set()
+    assert service.step_once() == 1          # the requeued slow one
+    assert rb.done.is_set() and rb.error is None
+    assert service.stats["batches"] == before + 2
+
+
+def test_unconditional_service_rejects_label():
+    model, params = _model_params()
+    svc = SamplerService(model, make_schedule(20), params, resolution=RES,
+                         conditional=False, batch_size=B, autostart=False)
+    with pytest.raises(ValueError):
+        svc.submit(1, label=1, spec=FAST)
+    svc.close()
+
+
+def test_encode_images_roundtrip():
+    imgs = np.linspace(-1, 1, 2 * RES * RES, dtype=np.float32
+                       ).reshape(2, RES, RES, 1)
+    data, ctype = encode_images(imgs, "npy")
+    assert ctype == "application/x-npy"
+    back = np.load(io.BytesIO(base64.b64decode(data)))
+    np.testing.assert_array_equal(back, imgs)
+
+    data, ctype = encode_images(imgs, "png")
+    assert ctype == "image/png"
+    raw = base64.b64decode(data)
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    with pytest.raises(ValueError):
+        encode_images(imgs, "jpeg")
+
+
+def test_http_end_to_end():
+    model, params = _model_params()
+    svc = SamplerService(model, make_schedule(20), params, resolution=RES,
+                         conditional=True, batch_size=B, max_wait_ms=5.0,
+                         autostart=True)
+    httpd = make_http_server(svc, "127.0.0.1", 0, info={"preset": "tiny"})
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        h = json.load(urllib.request.urlopen(f"{base}/healthz"))
+        assert h["status"] == "ok" and h["backend"] == "cpu"
+        inf = json.load(urllib.request.urlopen(f"{base}/info"))
+        assert inf["resolution"] == RES and inf["batch_size"] == B
+        assert inf["preset"] == "tiny" and inf["conditional"] is True
+
+        body = json.dumps({"num": 2, "label": 1, "method": "ddim",
+                           "steps": 2, "format": "npy",
+                           "seed": 3}).encode()
+        resp = json.load(urllib.request.urlopen(
+            urllib.request.Request(f"{base}/sample", data=body,
+                                   method="POST")))
+        assert resp["shape"] == [2, RES, RES, 1]
+        arr = np.load(io.BytesIO(base64.b64decode(resp["data"])))
+        assert arr.shape == (2, RES, RES, 1) and np.isfinite(arr).all()
+
+        # bad request -> 400 with an error payload
+        bad = urllib.request.Request(
+            f"{base}/sample",
+            data=json.dumps({"num": 99, "steps": 2}).encode(),
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad)
+        assert ei.value.code == 400
+        assert "num" in json.load(ei.value)["error"]
+
+        m = json.load(urllib.request.urlopen(f"{base}/metrics"))
+        assert m["samples"] >= 2 and m["batches"] >= 1
+    finally:
+        httpd.shutdown()
+        svc.close()

@@ -1,10 +1,15 @@
-"""Measure 256² SuperDiff-1000 superposed sampling throughput on the real
-chip: sequential per-model calls vs the stacked vmap call
-(``diffusion/superdiff.py::stack_eps_fns``). Round-1 measured 0.82
-samples/sec with sequential calls (BASELINE.md); the stacked call batches
-both denoisers into one vmapped forward per scan step.
+"""SuperDiff 2-model superposition throughput on one chip.
 
-Usage: python scripts/bench_superdiff.py [--preset eff256] [--batch 16]
+Round 2 settled sequential-per-model vs vmap-over-stacked-params
+(sequential wins on conv UNets: 0.822 vs 0.686 samples/sec at eff256 —
+batching the *weights* turns every conv into an M-kernel batched conv);
+round 3 re-measures the production sequential path under the sampling
+dtype policy (bf16 norm passes + bf16 weight cast) with params passed as
+jit arguments, exactly like ``cli/sample.py --run-dir2``.
+
+    python scripts/bench_superdiff.py --preset attn256d > /tmp/sd.jsonl \
+        2>/tmp/sd.log
+    python scripts/bench_superdiff.py --stacked   # re-run the A/B variant
 """
 
 import argparse
@@ -18,10 +23,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--preset", default="eff256")
+    p.add_argument("--preset", default="attn256d")
     p.add_argument("--res", type=int, default=256)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--T", type=int, default=1000)
+    p.add_argument("--mode", default="or", choices=["or", "and", "fixed"])
+    p.add_argument("--stacked", action="store_true",
+                   help="also time the vmap-over-stacked-params variant")
+    p.add_argument("--no-policy", action="store_true",
+                   help="skip the bf16 sampling policy (round-2 numerics)")
     args = p.parse_args()
 
     import jax
@@ -29,6 +39,8 @@ def main():
     from superdiff_tpu.diffusion import make_schedule
     from superdiff_tpu.diffusion.superdiff import (stack_eps_fns,
                                                    superdiff_sample)
+    from superdiff_tpu.inference import (apply_sampling_policy,
+                                         make_eps_fn_p)
     from superdiff_tpu.models.presets import build_model
     from superdiff_tpu.utils.env import host_init
 
@@ -40,33 +52,51 @@ def main():
     y = jnp.zeros((B,), jnp.int32)
     params1 = host_init(model.init, jax.random.PRNGKey(0), x, t0, y)
     params2 = host_init(model.init, jax.random.PRNGKey(1), x, t0, y)
+    if not args.no_policy:
+        model, params1 = apply_sampling_policy(model, params1)
+        _, params2 = apply_sampling_policy(model, params2)
     print("params initialized", file=sys.stderr, flush=True)
 
     schedule = make_schedule(args.T)
-    apply = lambda p, xx, tt: model.apply(p, xx, tt, y)
+    applyp = make_eps_fn_p(model)        # fn(params, x, t) -> eps
 
-    variants = {
-        "sequential": [lambda xx, tt: apply(params1, xx, tt),
-                       lambda xx, tt: apply(params2, xx, tt)],
-        "stacked": stack_eps_fns(apply, [params1, params2]),
-    }
     results = {}
-    for tag, fns in variants.items():
-        fn = jax.jit(lambda r, f=fns: superdiff_sample(
-            schedule, f, shape, r, mode="or", num_models=2))
+
+    def time_variant(tag, fn, *fn_args):
         tic = time.time()
-        fn(jax.random.PRNGKey(2))[0].block_until_ready()
-        print(f"{tag}: compile+run {time.time()-tic:.0f}s",
+        fn(jax.random.PRNGKey(2), *fn_args)[0].block_until_ready()
+        print(f"{tag}: compile+first {time.time()-tic:.0f}s",
               file=sys.stderr, flush=True)
-        tic = time.time()
-        out, logq = fn(jax.random.PRNGKey(3))
-        out.block_until_ready()
-        dt = time.time() - tic
-        assert bool(jnp.isfinite(out).all()) and bool(jnp.isfinite(logq).all())
-        results[tag] = {"samples_per_sec": round(B / dt, 3),
-                        "ms_per_step": round(dt / args.T * 1e3, 2)}
+        best = float("inf")
+        for k in range(2):
+            tic = time.time()
+            out, logq = fn(jax.random.PRNGKey(3 + k), *fn_args)
+            out.block_until_ready()
+            best = min(best, time.time() - tic)
+            assert bool(jnp.isfinite(out).all())
+            assert bool(jnp.isfinite(logq).all())
+        results[tag] = {"samples_per_sec": round(B / best, 3),
+                        "ms_per_step": round(best / args.T * 1e3, 2)}
         print(f"{tag}: {results[tag]}", file=sys.stderr, flush=True)
-    print(json.dumps({"preset": args.preset, "batch": B, **results}))
+
+    # the production path: sequential per-model closures, params as args
+    def sequential(r, p1, p2):
+        fns = [lambda xx, tt: applyp(p1, xx, tt),
+               lambda xx, tt: applyp(p2, xx, tt)]
+        return superdiff_sample(schedule, fns, shape, r, mode=args.mode,
+                                num_models=2)
+
+    time_variant("sequential", jax.jit(sequential), params1, params2)
+
+    if args.stacked:
+        stacked_fns = stack_eps_fns(lambda p, xx, tt: applyp(p, xx, tt),
+                                    [params1, params2])
+        time_variant("stacked", jax.jit(
+            lambda r: superdiff_sample(schedule, stacked_fns, shape, r,
+                                       mode=args.mode, num_models=2)))
+
+    print(json.dumps({"preset": args.preset, "batch": B, "mode": args.mode,
+                      "policy": not args.no_policy, **results}))
 
 
 if __name__ == "__main__":

@@ -71,6 +71,10 @@ class DataModule:
             batch_size=batch_size,
             resolution=t.resolution,
             shuffle=shuffle,
+            # eval splits keep the partial tail — otherwise a val/test
+            # split smaller than the batch yields nothing at all (the
+            # training loop wrap-pads the tail back to one compiled shape)
+            drop_last=(split == "train"),
             seed=t.seed + epoch,
             resize_strategy=t.resize_strategy,
             histogram_equalization=t.histogram_equalization,

@@ -36,7 +36,11 @@ def _scan_unroll() -> int:
     8.633 ms/step, attn256d 10.23 -> 10.12, at the cost of ~2x scan-body
     compile time. Default 2 (T=1000/100/50 all divide; non-divisible step
     counts silently fall back to 1)."""
-    return int(os.environ.get("SUPERDIFF_TPU_SCAN_UNROLL", "2"))
+    unroll = int(os.environ.get("SUPERDIFF_TPU_SCAN_UNROLL", "2"))
+    if unroll < 1:
+        raise ValueError("SUPERDIFF_TPU_SCAN_UNROLL must be >= 1, got "
+                         f"{unroll}")
+    return unroll
 
 
 def _guided_eps(model_fn: ModelFn,

@@ -102,8 +102,13 @@ def _pick_blocks(S: int):
     so the online-softmax rescale never runs and attn256 end-to-end went
     12.57 -> 10.97 ms/step (+15%) over the old 256/512. VMEM stays ~1 MB
     (q 512x64 + k/v 1024x64 bf16 + f32 scratch), far under budget."""
-    block_q = min(int(os.environ.get("SUPERDIFF_TPU_FLASH_BQ", "512")), S)
-    block_k = min(int(os.environ.get("SUPERDIFF_TPU_FLASH_BK", "1024")), S)
+    block_q = int(os.environ.get("SUPERDIFF_TPU_FLASH_BQ", "512"))
+    block_k = int(os.environ.get("SUPERDIFF_TPU_FLASH_BK", "1024"))
+    if block_q < 1 or block_k < 1:
+        raise ValueError("SUPERDIFF_TPU_FLASH_BQ/BK must be >= 1, got "
+                         f"{block_q}/{block_k}")
+    block_q = min(block_q, S)
+    block_k = min(block_k, S)
     while S % block_k:
         block_k //= 2
     while S % block_q:
@@ -327,12 +332,20 @@ def _bwd_uses_pallas() -> bool:
 
 def _flash_fwd_rule(q, k, v):
     out, lse = _flash_forward(q, k, v)
-    return out, (q, k, v, out, lse)
+    # The backward-path choice is static per process (env knob + backend),
+    # so decide it here too and only retain out/lse when the Pallas
+    # backward will actually consume them — the XLA-vjp fallback recomputes
+    # attention from (q, k, v) alone, and keeping the extra (B,S,H,D) + lse
+    # residuals alive across fwd->bwd would waste activation memory on
+    # exactly the backends that take that path.
+    if _bwd_uses_pallas():
+        return out, (q, k, v, out, lse)
+    return out, (q, k, v, None, None)
 
 
 def _flash_bwd_rule(residuals, g):
     q, k, v, o, lse = residuals
-    if _bwd_uses_pallas():
+    if _bwd_uses_pallas() and o is not None:
         return _flash_backward(q, k, v, o, lse, g)
     from superdiff_tpu.ops.attention import _xla_attention
     _, vjp = jax.vjp(_xla_attention, q, k, v)

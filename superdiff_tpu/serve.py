@@ -39,6 +39,8 @@ from __future__ import annotations
 import base64
 import io
 import json
+import logging
+import os
 import queue
 import threading
 import time
@@ -49,6 +51,8 @@ import numpy as np
 
 _METHODS = ("ddpm", "ddim", "dpmpp")
 
+_log = logging.getLogger("superdiff_tpu.serve")
+
 
 @dataclass(frozen=True)
 class SampleSpec:
@@ -58,13 +62,25 @@ class SampleSpec:
     eta: float = 0.0
     guidance: float = 1.0
 
-    def validate(self, T: int) -> None:
+    def canonical(self, T: int) -> "SampleSpec":
+        """Validate and normalize to the executable-cache key. Fields a
+        method ignores are folded to one canonical value so equivalent
+        requests never compile twice: ``ddpm`` always runs the full
+        schedule (steps -> T) and is ancestral (eta rejected, like dpmpp);
+        only ddim consumes eta."""
         if self.method not in _METHODS:
             raise ValueError(f"method must be one of {_METHODS}")
-        if self.method == "dpmpp" and self.eta:
-            raise ValueError("eta only applies to ddim (dpmpp is an ODE)")
-        if not 1 <= self.steps <= T:
+        if self.method != "ddim" and self.eta:
+            raise ValueError("eta only applies to ddim (ddpm is ancestral "
+                             "at full T; dpmpp is an ODE)")
+        steps = int(T) if self.method == "ddpm" else int(self.steps)
+        if not 1 <= steps <= T:
             raise ValueError(f"steps must be in [1, {T}]")
+        return SampleSpec(self.method, steps, float(self.eta),
+                          float(self.guidance))
+
+    def validate(self, T: int) -> None:
+        self.canonical(T)
 
 
 @dataclass
@@ -101,11 +117,17 @@ class SamplerService:
         self._mesh = mesh
         self._params = self._place(params)
         self._null = int(getattr(model, "null_label", 0))
+        self._num_classes = int(getattr(model, "num_classes", 0) or 0)
 
         self._jits: Dict[SampleSpec, Any] = {}
         self._q: "queue.Queue[_Request]" = queue.Queue()
+        # Requests pulled off the queue but not servable in the current
+        # batch (different spec, or seeded). Worker-thread-only state,
+        # FIFO by arrival: the oldest deferred request leads the next
+        # cycle, so a minority spec is never starved by a sustained
+        # stream of another spec.
+        self._pending: List[_Request] = []
         self._lock = threading.Lock()
-        self._batch_counter = 0
         self.stats = {"requests": 0, "samples": 0, "batches": 0,
                       "coalesced": 0, "compiles": 0, "device_ms_total": 0.0}
         self._stop = threading.Event()
@@ -126,13 +148,22 @@ class SamplerService:
     def submit(self, num: int, label: Optional[int] = None,
                spec: Optional[SampleSpec] = None,
                seed: Optional[int] = None) -> _Request:
-        spec = spec or SampleSpec()
-        spec.validate(int(self._schedule.betas.shape[0]))
+        spec = (spec or SampleSpec()).canonical(
+            int(self._schedule.betas.shape[0]))
+        if not self._conditional and spec.guidance != 1.0:
+            # guidance never reaches the unconditional sampler; fold it so
+            # clients varying it don't each compile an identical executable
+            spec = SampleSpec(spec.method, spec.steps, spec.eta, 1.0)
         if not 1 <= num <= self._B:
             raise ValueError(f"num must be in [1, {self._B}] "
                              "(the service's fixed batch size)")
         if label is not None and not self._conditional:
             raise ValueError("model is unconditional; omit label")
+        if label is not None and self._num_classes \
+                and not 0 <= int(label) < self._num_classes:
+            # jnp.take clamps out-of-range gathers, which would silently
+            # condition on the wrong class; reject at the boundary instead
+            raise ValueError(f"label must be in [0, {self._num_classes})")
         lab = self._null if label is None else int(label)
         req = _Request(num=num,
                        labels=np.full((num,), lab, dtype=np.int32),
@@ -163,10 +194,8 @@ class SamplerService:
     def step_once(self, block: bool = True) -> int:
         """Drain one coalesced batch (test/diagnostic path). Returns the
         number of requests served."""
-        try:
-            first = self._q.get(block=block, timeout=self._max_wait
-                                if block else None)
-        except queue.Empty:
+        first = self._next_request(block)
+        if first is None:
             return 0
         return self._serve_batch(first)
 
@@ -178,41 +207,70 @@ class SamplerService:
     # ------------------------------------------------------------ worker
     def _run(self) -> None:
         while not self._stop.is_set():
-            try:
-                first = self._q.get(timeout=0.1)
-            except queue.Empty:
+            first = self._next_request(block=True, timeout=0.1)
+            if first is None:
                 continue
             try:
                 self._serve_batch(first)
-            except Exception:       # worker must survive bad requests
-                pass
+            except Exception:       # worker must survive bad launches;
+                # the requests already carry the error (``_serve_batch``
+                # sets it before re-raising) — record it server-side too
+                _log.exception("sampling batch failed")
+
+    def _next_request(self, block: bool = True,
+                      timeout: Optional[float] = None) -> Optional[_Request]:
+        """Oldest deferred request first, then the queue (worker thread /
+        ``step_once`` only)."""
+        if self._pending:
+            return self._pending.pop(0)
+        try:
+            return self._q.get(block=block, timeout=timeout
+                               if timeout is not None
+                               else (self._max_wait if block else None))
+        except queue.Empty:
+            return None
 
     def _serve_batch(self, first: _Request) -> int:
-        """Coalesce queue entries sharing ``first.spec`` into one launch."""
+        """Coalesce waiting unseeded requests sharing ``first.spec`` into
+        one launch. Seeded requests always ride alone: their result must
+        depend only on (spec, num, label, seed, batch_size), never on what
+        else happened to be queued. Non-matching requests are deferred to
+        ``_pending`` in arrival order and lead the next cycle."""
         batch: List[_Request] = [first]
         slots = first.num
-        deadline = time.time() + self._max_wait
-        leftovers: List[_Request] = []
-        while slots < self._B and time.time() < deadline:
-            try:
-                nxt = self._q.get(timeout=max(0.0, deadline - time.time()))
-            except queue.Empty:
-                break
-            if nxt.spec == first.spec and slots + nxt.num <= self._B:
-                batch.append(nxt)
-                slots += nxt.num
-            else:
-                leftovers.append(nxt)     # different executable: requeue
-        for r in leftovers:
-            self._q.put(r)
+        if first.seed is None:
+            kept: List[_Request] = []
+            for r in self._pending:       # older deferred matches first
+                if (r.seed is None and r.spec == first.spec
+                        and slots + r.num <= self._B):
+                    batch.append(r)
+                    slots += r.num
+                else:
+                    kept.append(r)
+            self._pending = kept
+            deadline = time.time() + self._max_wait
+            while slots < self._B and time.time() < deadline:
+                try:
+                    nxt = self._q.get(
+                        timeout=max(0.0, deadline - time.time()))
+                except queue.Empty:
+                    break
+                if (nxt.seed is None and nxt.spec == first.spec
+                        and slots + nxt.num <= self._B):
+                    batch.append(nxt)
+                    slots += nxt.num
+                else:
+                    self._pending.append(nxt)
 
         labels = np.full((self._B,), self._null, dtype=np.int32)
         off = 0
         for r in batch:
             labels[off:off + r.num] = r.labels
             off += r.num
-        seed = first.seed if first.seed is not None else self._batch_counter
-        self._batch_counter += 1
+        # unseeded batches draw a fresh seed (never colliding with the
+        # deterministic space of explicit client seeds by counter reuse)
+        seed = (first.seed if first.seed is not None
+                else int.from_bytes(os.urandom(4), "little"))
 
         try:
             imgs = self._launch(first.spec, labels, int(seed))
@@ -396,5 +454,10 @@ def make_http_server(service: SamplerService, host: str = "127.0.0.1",
                 self._json(400, {"error": str(e)})
             except TimeoutError as e:
                 self._json(503, {"error": str(e)})
+            except Exception as e:
+                # device/runtime failures (XLA OOM, backend outage, ...)
+                # must surface as a 5xx JSON error, not a dropped socket
+                _log.exception("/sample failed")
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
     return ThreadingHTTPServer((host, port), Handler)

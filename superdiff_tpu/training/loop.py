@@ -158,8 +158,17 @@ def train(cfg: Config,
         for j, vb in enumerate(batches):
             if t.eval_batches and j >= t.eval_batches:
                 break
-            if vb["image"].shape[0] != B:
-                continue  # partial tail batch: keep one compiled shape
+            n = int(vb["image"].shape[0])
+            if n != B:
+                # Wrap-pad the partial tail up to B so one compiled shape
+                # serves every pass — and so a val split *smaller* than the
+                # train batch still produces a val curve at all (a tiny
+                # split used to silently disable validation and best-val
+                # tagging). The duplicates are deterministic (constant val
+                # stream seed), so curves stay comparable across epochs.
+                reps = -(-B // n)
+                vb = {k: jnp.tile(v, (reps,) + (1,) * (v.ndim - 1))[:B]
+                      for k, v in vb.items()}
             if mesh is not None:
                 vb = shard_batch(vb, mesh)
             if not conditional:

@@ -59,11 +59,25 @@ def test_validation(service):
     with pytest.raises(ValueError):
         service.submit(1, spec=SampleSpec(method="dpmpp", eta=0.5))
     with pytest.raises(ValueError):
+        service.submit(1, spec=SampleSpec(method="ddpm", eta=0.5))
+    with pytest.raises(ValueError):
         service.submit(1, spec=SampleSpec(steps=999))  # > T
+    with pytest.raises(ValueError):
+        service.submit(1, label=99, spec=FAST)         # >= num_classes
+    with pytest.raises(ValueError):
+        service.submit(1, label=-1, spec=FAST)
+
+
+def test_spec_canonicalization():
+    # fields a method ignores must fold to one executable-cache key
+    a = SampleSpec(method="ddpm", steps=5).canonical(20)
+    b = SampleSpec(method="ddpm", steps=7).canonical(20)
+    assert a == b and a.steps == 20
+    assert SampleSpec(method="ddim", steps=5).canonical(20).steps == 5
 
 
 def test_coalescing_and_slicing(service):
-    r1 = service.submit(2, label=0, spec=FAST, seed=7)
+    r1 = service.submit(2, label=0, spec=FAST)
     r2 = service.submit(2, label=1, spec=FAST)
     served = service.step_once()
     assert served == 2
@@ -85,9 +99,33 @@ def test_specs_do_not_mix(service):
     before = service.stats["batches"]
     assert service.step_once() == 1          # only the FAST one
     assert ra.done.is_set() and not rb.done.is_set()
-    assert service.step_once() == 1          # the requeued slow one
-    assert rb.done.is_set() and rb.error is None
-    assert service.stats["batches"] == before + 2
+    # the deferred minority spec must lead the NEXT cycle even when more
+    # majority-spec traffic arrived behind it (no starvation)
+    rc = service.submit(1, spec=FAST)
+    assert service.step_once() == 1
+    assert rb.done.is_set() and rb.error is None and not rc.done.is_set()
+    assert service.step_once() == 1
+    assert rc.done.is_set()
+    assert service.stats["batches"] == before + 3
+
+
+def test_seeded_requests_reproduce(service):
+    # a seeded request rides alone (never coalesced), so its result
+    # depends only on (spec, num, label, seed, batch_size)
+    ra = service.submit(2, label=0, spec=FAST, seed=7)
+    rb = service.submit(1, label=1, spec=FAST)       # unseeded bystander
+    assert service.step_once() == 1                  # seeded one, alone
+    assert ra.done.is_set() and not rb.done.is_set()
+    assert service.step_once() == 1
+    assert rb.done.is_set()
+
+    rc = service.submit(2, label=0, spec=FAST, seed=7)
+    service.step_once()
+    np.testing.assert_array_equal(ra.result, rc.result)
+
+    rd = service.submit(2, label=0, spec=FAST, seed=8)
+    service.step_once()
+    assert not np.allclose(ra.result, rd.result)
 
 
 def test_unconditional_service_rejects_label():

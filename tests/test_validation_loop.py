@@ -138,3 +138,34 @@ def test_load_run_best(tmp_path):
     with open(os.path.join(out, "best_val.json")) as f:
         tagged = json.load(f)
     assert tagged["step"] in (2, 4)
+
+
+def test_val_split_smaller_than_batch_still_validates(tmp_path):
+    """A val split with fewer images than training.batch_size used to be
+    silently dropped (every batch was a partial tail), disabling val curves
+    and best-val tagging; the loop now wrap-pads the tail to one compiled
+    shape."""
+    import numpy as np
+    from PIL import Image
+
+    root = tmp_path / "xray"
+    for split, n in (("train", 8), ("val", 3), ("test", 3)):
+        for cls in ["NORMAL", "PNEUMONIA"]:
+            d = root / "PNEUMONIA" / split / cls
+            d.mkdir(parents=True)
+            rng = np.random.default_rng(hash((split, cls)) % 2**32)
+            for i in range(n):
+                Image.fromarray(
+                    (rng.random((20, 20)) * 255).astype("uint8"), "L"
+                ).save(d / f"img{i}.png")
+
+    cfg = _cfg(tmp_path, epochs=2)
+    cfg.training.batch_size = 8      # > 6 val images (3 per class)
+    train(cfg, dataset_root=str(root))
+    out = os.path.join(str(tmp_path), "outputs", "PNEUMONIA",
+                       "experiment_v_run_0")
+    vals = [json.loads(l)["val_loss"] for l in open(
+        os.path.join(out, "metrics.jsonl")) if "val_loss" in l]
+    assert len(vals) == 2 and all(v > 0 for v in vals)
+    with open(os.path.join(out, "best_val.json")) as f:
+        assert json.load(f)["step"] > 0

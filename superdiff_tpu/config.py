@@ -111,6 +111,15 @@ class ModelConfig:
     num_classes: int = 2
     conditional: bool = True
     compute_dtype: str = "bfloat16"     # bfloat16|float32
+    # norm-pass dtype for TRAINING (sampling always applies the bf16
+    # policy via inference.apply_sampling_policy): bf16 halves the
+    # HBM traffic of the GroupNorm chains fwd+bwd — measured +13%
+    # train-step throughput at grad cosine 1.0 / rel-L2 6e-6 vs f32
+    # (the convs consume bf16 either way, so the norm chain's extra
+    # rounding vanishes at the conv input cast; scripts/bench_r3_train.py,
+    # BASELINE.md). Params/optimizer/EMA stay f32 and GN statistics
+    # still reduce in f32. Set "float32" for exact round-2 numerics.
+    norm_dtype: str = "bfloat16"        # bfloat16|float32
     base_channels: Optional[int] = None  # preset overrides
     dropout: float = 0.0
 

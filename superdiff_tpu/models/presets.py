@@ -108,11 +108,17 @@ def model_from_config(cfg) -> CondUNet:
     overrides = {}
     if cfg.model.base_channels:
         overrides["base_channels"] = cfg.model.base_channels
+    dtypes = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
+    nd = getattr(cfg.model, "norm_dtype", "float32")
+    if nd not in dtypes or cfg.model.compute_dtype not in dtypes:
+        raise ValueError("model.compute_dtype / model.norm_dtype must be "
+                         f"one of {sorted(dtypes)}")
+    if nd != "float32":
+        overrides["norm_dtype"] = dtypes[nd]
     return build_model(
         cfg.model.preset,
         num_classes=cfg.model.num_classes if cfg.model.conditional else 0,
-        compute_dtype=jnp.bfloat16
-        if cfg.model.compute_dtype == "bfloat16" else jnp.float32,
+        compute_dtype=dtypes[cfg.model.compute_dtype],
         dropout=cfg.model.dropout,
         **overrides)
 

@@ -166,3 +166,38 @@ def test_grad_reduction_across_devices(schedule, devices8):
         np.testing.assert_array_equal(vals[0], v)
 
 
+
+
+def test_bf16_norm_training_step(schedule):
+    """``model.norm_dtype=bfloat16`` (config knob, scripts/bench_r3_train.py
+    A/B): the train step runs, params/EMA stay f32, and grads agree with
+    the f32-norm step to bf16 tolerance on the same batch."""
+    from superdiff_tpu.config import Config
+    from superdiff_tpu.models.presets import model_from_config
+
+    cfg = Config()
+    cfg.model.preset = "small64"
+    cfg.model.base_channels = 8
+    cfg.model.norm_dtype = "bfloat16"
+    m16 = model_from_config(cfg)
+    assert m16.norm_dtype == jnp.bfloat16
+    cfg.model.norm_dtype = "float32"
+    m32 = model_from_config(cfg)
+
+    with pytest.raises(ValueError):
+        cfg.model.norm_dtype = "float16"
+        model_from_config(cfg)
+
+    batch = _batch()
+    losses = {}
+    for tag, m in (("bf16", m16), ("f32", m32)):
+        step = make_train_step(schedule, conditional=True)
+        state = _make_state(m)
+        state, metrics = step(state, batch)
+        losses[tag] = float(metrics["loss"])
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            assert leaf.dtype == jnp.float32
+        for leaf in jax.tree_util.tree_leaves(state.ema_params):
+            assert leaf.dtype == jnp.float32
+    # same params/batch/rng: the bf16-norm loss tracks f32 to bf16 eps
+    assert abs(losses["bf16"] - losses["f32"]) < 3e-2, losses

@@ -100,8 +100,65 @@ def denormalize(batch: jnp.ndarray, mode: str = "tanh") -> jnp.ndarray:
     return jnp.clip(batch, 0.0, 1.0)
 
 
+def _shift1d(img: jnp.ndarray, off: jnp.ndarray, axis: int,
+             max_shift: int) -> jnp.ndarray:
+    """Fractional per-row shift along ``axis`` (edge-clamped, bilinear).
+
+    TPU-native: a 2-hot hat-weight contraction over ``2*max_shift + 1``
+    statically sliced copies of the edge-padded image — slices + one
+    einsum, NO gather (XLA's gather runs off the vector units and made
+    the rotation ~107 ms/step at 256² batch 32; this path measures
+    ~31 ms at the medium tier's bounds, ~4.3×).
+
+    ``img``: (B, H, W, C); ``off``: the per-(batch, row) sample offset —
+    (B, H) for ``axis=2``, (B, W) for ``axis=1`` — i.e. output[x] samples
+    input[x - off]. |off| must be <= max_shift (a static tier bound).
+    """
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (max_shift, max_shift)
+    padded = jnp.pad(img, pad, mode="edge")
+    size = img.shape[axis]
+    stack = jnp.stack([
+        jax.lax.slice_in_dim(padded, d, d + size, axis=axis)
+        for d in range(2 * max_shift + 1)])              # (S, B, H, W, C)
+    shifts = jnp.arange(-max_shift, max_shift + 1, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(off[..., None] + shifts))
+    if axis == 2:
+        return jnp.einsum("sbhwc,bhs->bhwc", stack, w)
+    return jnp.einsum("sbhwc,bws->bhwc", stack, w)
+
+
+def _rotate_shear3(batch: jnp.ndarray, angles: jnp.ndarray,
+                   max_deg: float) -> jnp.ndarray:
+    """Batched center rotation as three 1-D shears (Paeth): x, y, x.
+
+    Exact affine map, three separable bilinear resamples — matches the
+    direct bilinear `_rotate_bilinear` to ~2.5e-3 max on smooth images
+    (pinned by tests; white noise decorrelates at 1 px, so pointwise
+    comparison there is meaningless). ``max_deg`` is the static tier
+    bound that sizes the shift stacks.
+    """
+    B, H, W = batch.shape[0], batch.shape[1], batch.shape[2]
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    ty = jnp.tan(angles / 2.0)
+    sn = jnp.sin(angles)
+    ybar = jnp.arange(H, dtype=jnp.float32) - cy
+    xbar = jnp.arange(W, dtype=jnp.float32) - cx
+    maxr = np.deg2rad(max_deg)
+    Dx = int(np.ceil(np.tan(maxr / 2.0) * max(cy, cx))) + 1
+    Dy = int(np.ceil(np.sin(maxr) * max(cy, cx))) + 1
+    offx = -ty[:, None] * ybar[None, :]                  # (B, H)
+    out = _shift1d(batch, offx, axis=2, max_shift=Dx)
+    out = _shift1d(out, sn[:, None] * xbar[None, :], axis=1, max_shift=Dy)
+    return _shift1d(out, offx, axis=2, max_shift=Dx)
+
+
 def _rotate_bilinear(img: jnp.ndarray, angle_rad: jnp.ndarray) -> jnp.ndarray:
-    """Rotate one (H, W, C) image about its center, bilinear, edge-clamped."""
+    """Rotate one (H, W, C) image about its center, bilinear, edge-clamped.
+
+    Direct gather implementation (jax.scipy map_coordinates) — the
+    semantic reference for `_rotate_shear3`, which the augmentation
+    pipeline actually dispatches (gathers are slow on TPU)."""
     H, W = img.shape[0], img.shape[1]
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
     yy = jnp.arange(H, dtype=jnp.float32)[:, None] - cy
@@ -153,7 +210,7 @@ def augment(batch: jnp.ndarray, rng: jax.Array,
                                 maxval=max_deg) * (jnp.pi / 180.0)
     do_rot = jax.random.bernoulli(keys[2], rot_p, (B,))
     angles = jnp.where(do_rot, angles, 0.0)
-    batch = jax.vmap(_rotate_bilinear)(batch, angles)
+    batch = _rotate_shear3(batch, angles, max_deg)
 
     # brightness/contrast: low p=0.3, medium p=0.4; +-0.2 each
     bc_p = 0.3 if risk == "low" else 0.4

@@ -126,7 +126,9 @@ def train(cfg: Config,
                               null_label=getattr(model, "null_label", 0),
                               loss_type=t.loss_type,
                               weighting=t.loss_weighting,
-                              min_snr_gamma=t.min_snr_gamma)
+                              min_snr_gamma=t.min_snr_gamma,
+                              augmentation=t.augmentation,
+                              normalization=t.normalization)
 
     # validation: EMA loss on the val split every eval_every epochs; the
     # best-val step is checkpointed separately so a late-training regression
@@ -236,8 +238,14 @@ def train(cfg: Config,
         for epoch in range(start_epoch, t.num_epochs):
             epoch_losses = []
             tic = time.time()
-            batches = (dm.device_batches("train",
-                                         jax.random.fold_in(root_key, epoch))
+            # Real data rides as RAW uint8: one small upload + one fused
+            # step dispatch per batch (augment+normalize run inside the
+            # step jit — make_train_step docstring). The old per-batch
+            # eager prep chain capped the pipeline at 176 img/s over the
+            # remote tunnel vs the step's own 463 (BASELINE.md).
+            batches = (({"image": jnp.asarray(b["image"]),
+                         "label": jnp.asarray(b["label"])}
+                        for b in dm.iterator("train"))
                        if dm else _synthetic_batches(cfg, epoch))
             for i, batch in enumerate(batches):
                 if t.steps_per_epoch and i >= t.steps_per_epoch:
@@ -321,6 +329,10 @@ def train(cfg: Config,
                 ckpt.save(state)
 
             if _every(t.vis_every, epoch) and last_real is not None:
+                if last_real.dtype == jnp.uint8:   # fused-prep batches
+                    from superdiff_tpu.data.transforms import prepare_batch
+                    last_real = prepare_batch(last_real, None, "none",
+                                              t.normalization)
                 n_vis = min(8, B)
                 if conditional:
                     y_vis = jnp.arange(n_vis, dtype=jnp.int32) \

@@ -32,12 +32,24 @@ def make_train_step(schedule: DiffusionSchedule,
                     loss_type: str = "mse",
                     weighting: str = "none",
                     min_snr_gamma: float = 5.0,
+                    augmentation: str = "none",
+                    normalization: str = "tanh",
                     state_shardings=None) -> Callable:
     """Build the jitted train step.
 
     ``cfg_drop_prob``: probability of replacing each label with the null
     label during training — classifier-free guidance training (only
     meaningful when ``conditional``).
+
+    ``augmentation``/``normalization``: when ``batch["image"]`` arrives as
+    **uint8**, the stochastic augmentation + normalization pipeline
+    (``data/transforms.prepare_batch``) runs INSIDE this compiled step.
+    One 1-byte/pixel host->device upload and ONE dispatch per step —
+    no per-batch eager transform chain on the host, which over a remote
+    TPU tunnel was measured to cap the full pipeline at 176 img/s while
+    the step alone runs 463 (BASELINE.md round-3 pipeline table).
+    Float batches skip the fused path (they are already prepared), so
+    eval/synthetic callers are unaffected.
 
     ``state_shardings``: optional sharding pytree for the TrainState
     (``parallel.tp.state_shardings``) — enables tensor-parallel execution
@@ -50,6 +62,14 @@ def make_train_step(schedule: DiffusionSchedule,
 
     def loss_of(params, state, batch, rng):
         x = batch["image"]
+        if x.dtype == jnp.uint8:
+            # fused on-device prep; the aug stream is folded off the step
+            # rng so the diffusion-noise stream below is bit-identical to
+            # the unfused path (pinned by test_fused_prep_step)
+            from superdiff_tpu.data.transforms import prepare_batch
+            aug_rng = jax.random.fold_in(rng, 0x5D5D)
+            x = prepare_batch(x, aug_rng, augmentation=augmentation,
+                              normalization=normalization)
         if conditional:
             y = batch["label"]
             if cfg_drop_prob > 0.0:

@@ -244,3 +244,32 @@ def test_datamodule_probe_does_not_perturb_stream(tree):
         [b["label"] for b in dm.iterator("train", epoch=3)])
     np.testing.assert_array_equal(
         np.concatenate([first] + rest), expected)
+
+
+def test_shear3_rotation_matches_direct_bilinear():
+    """The 3-shear rotation (the TPU-native path `augment` dispatches)
+    matches the direct bilinear gather on smooth images. White noise is
+    deliberately avoided: it decorrelates at 1 px, so any two resamplers
+    differ pointwise there."""
+    from superdiff_tpu.data.transforms import (_rotate_bilinear,
+                                               _rotate_shear3)
+
+    H = W = 64
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    smooth = np.stack([
+        0.5 + 0.4 * np.sin(yy / 9.0) * np.cos(xx / 7.0),
+        yy / H * 0.8 + 0.1,
+    ])[..., None]                                       # (2, H, W, 1)
+    img = jnp.asarray(smooth)
+    ang = jnp.asarray(np.array([0.2, -0.25], np.float32))
+
+    direct = jax.vmap(_rotate_bilinear)(img, ang)
+    shear = _rotate_shear3(img, ang, max_deg=15.0)
+    m = 8                                               # borders clamp differently
+    diff = np.abs(np.asarray(direct - shear))[:, m:-m, m:-m]
+    assert diff.max() < 6e-3, diff.max()
+
+    # zero angle is the exact identity (hat weight 1 at shift 0)
+    ident = _rotate_shear3(img, jnp.zeros((2,)), max_deg=15.0)
+    np.testing.assert_allclose(np.asarray(ident), np.asarray(img),
+                               atol=1e-6)

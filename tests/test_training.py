@@ -201,3 +201,44 @@ def test_bf16_norm_training_step(schedule):
             assert leaf.dtype == jnp.float32
     # same params/batch/rng: the bf16-norm loss tracks f32 to bf16 eps
     assert abs(losses["bf16"] - losses["f32"]) < 3e-2, losses
+
+
+def test_fused_prep_step(schedule):
+    """uint8 batches run augment+normalize INSIDE the step jit (one upload,
+    one dispatch per batch). With augmentation='none' the fused step must
+    be bit-identical to prepare-then-step: the aug stream is folded OFF
+    the step rng, so the diffusion-noise stream is untouched."""
+    from superdiff_tpu.data.transforms import prepare_batch
+
+    model = _tiny_model()
+    u8 = (np.random.default_rng(0).random((B, RES, RES, 1)) * 255
+          ).astype(np.uint8)
+    labels = jnp.zeros((B,), jnp.int32)
+    raw = {"image": jnp.asarray(u8), "label": labels}
+    prepared = {"image": prepare_batch(jnp.asarray(u8), None, "none",
+                                       "tanh"), "label": labels}
+
+    fused = make_train_step(schedule, conditional=True,
+                            augmentation="none", normalization="tanh")
+    plain = make_train_step(schedule, conditional=True)
+    s1, m1 = fused(_make_state(model), raw)
+    s2, m2 = plain(_make_state(model), prepared)
+    assert float(m1["loss"]) == float(m2["loss"])
+    gn1, gn2 = float(m1["grad_norm"]), float(m2["grad_norm"])
+    assert abs(gn1 - gn2) / gn1 < 1e-5, (gn1, gn2)
+    # updated params agree to fusion-reassociation tolerance (the fused
+    # and unfused graphs compile to different HLO, so the grad reductions
+    # may associate differently; the math is identical)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+    # stochastic augmentation inside the jit: runs, and changes what the
+    # model sees. The out conv is zero-initialized, so the LOSS at init is
+    # mean(eps^2) regardless of x — the gradient is the x-sensitive probe.
+    aug = make_train_step(schedule, conditional=True,
+                          augmentation="medium", normalization="tanh")
+    _, m3 = aug(_make_state(model), raw)
+    assert np.isfinite(float(m3["loss"]))
+    assert float(m3["grad_norm"]) != float(m1["grad_norm"])

@@ -242,3 +242,33 @@ def test_fused_prep_step(schedule):
     _, m3 = aug(_make_state(model), raw)
     assert np.isfinite(float(m3["loss"]))
     assert float(m3["grad_norm"]) != float(m1["grad_norm"])
+
+
+def test_fused_prep_step_sharded_matches_unsharded(schedule, devices8):
+    """The production real-data path: a RAW uint8 batch, stochastically
+    augmented + normalized INSIDE the mesh-sharded step. GSPMD partitions
+    the same global program, so the sharded step must reproduce the
+    single-device numbers exactly (same params/batch/rng — including the
+    folded aug stream)."""
+    model = _tiny_model()
+    u8 = (np.random.default_rng(7).random((B, RES, RES, 1)) * 255
+          ).astype(np.uint8)
+    raw = {"image": jnp.asarray(u8),
+           "label": jnp.zeros((B,), jnp.int32)}
+
+    step_a = make_train_step(schedule, conditional=True,
+                             augmentation="low", normalization="tanh")
+    _, m_a = step_a(_make_state(model), raw)
+
+    mesh = make_mesh(8)
+    step_b = make_train_step(schedule, mesh=mesh, conditional=True,
+                             augmentation="low", normalization="tanh")
+    sharded = shard_batch(raw, mesh)
+    assert sharded["image"].dtype == jnp.uint8
+    assert len(sharded["image"].sharding.device_set) == 8
+    _, m_b = step_b(_make_state(model), sharded)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_a["grad_norm"]),
+                               float(m_b["grad_norm"]), rtol=1e-4)

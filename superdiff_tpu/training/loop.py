@@ -138,7 +138,8 @@ def train(cfg: Config,
     eval_fn = make_eval_step(schedule, mesh=mesh, conditional=conditional,
                              loss_type=t.loss_type,
                              weighting=t.loss_weighting,
-                             min_snr_gamma=t.min_snr_gamma) \
+                             min_snr_gamma=t.min_snr_gamma,
+                             normalization=t.normalization) \
         if t.eval_every > 0 else None
 
     def _val_batches():
@@ -149,7 +150,12 @@ def train(cfg: Config,
                 dm.index("val")
             except (FileNotFoundError, ValueError):
                 return None
-            return dm.device_batches("val", jax.random.PRNGKey(t.seed + 1))
+            # raw uint8, normalized inside the eval jit (fused pipeline,
+            # same as training); epoch=0 pins a fixed deterministic stream
+            # so val curves stay comparable across passes
+            return ({"image": jnp.asarray(b["image"]),
+                     "label": jnp.asarray(b["label"])}
+                    for b in dm.iterator("val", epoch=0))
         return _synthetic_batches(cfg, epoch=1_000_003)
 
     def run_validation() -> Optional[float]:

@@ -130,12 +130,22 @@ def make_eval_step(schedule: DiffusionSchedule,
                    conditional: bool = False,
                    loss_type: str = "mse",
                    weighting: str = "none",
-                   min_snr_gamma: float = 5.0) -> Callable:
-    """Validation loss on EMA params (no grads, fixed fold-in RNG)."""
+                   min_snr_gamma: float = 5.0,
+                   normalization: str = "tanh") -> Callable:
+    """Validation loss on EMA params (no grads, fixed fold-in RNG).
+
+    Like the train step, a **uint8** ``batch["image"]`` is normalized
+    INSIDE the jit (never augmented — validation sees clean data), so the
+    val pass rides the same one-upload-one-dispatch pipeline as training.
+    """
 
     def eval_fn(state: TrainState, batch) -> jnp.ndarray:
         rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
         x = batch["image"]
+        if x.dtype == jnp.uint8:
+            from superdiff_tpu.data.transforms import prepare_batch
+            x = prepare_batch(x, None, augmentation="none",
+                              normalization=normalization)
         if conditional:
             model_fn = lambda xt, t, yy: state.apply_fn(
                 state.ema_params, xt, t, yy)

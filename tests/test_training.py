@@ -272,3 +272,24 @@ def test_fused_prep_step_sharded_matches_unsharded(schedule, devices8):
                                rtol=1e-5)
     np.testing.assert_allclose(float(m_a["grad_norm"]),
                                float(m_b["grad_norm"]), rtol=1e-4)
+
+
+def test_eval_step_uint8_matches_prepared(schedule):
+    """The fused val path: a raw uint8 batch normalized inside the eval jit
+    must score identically to eager prepare-then-eval (no augmentation in
+    either — validation sees clean data)."""
+    from superdiff_tpu.data.transforms import prepare_batch
+
+    model = _tiny_model()
+    state = _make_state(model)
+    u8 = (np.random.default_rng(3).random((B, RES, RES, 1)) * 255
+          ).astype(np.uint8)
+    labels = jnp.zeros((B,), jnp.int32)
+
+    ev = make_eval_step(schedule, conditional=True, normalization="tanh")
+    l_raw = float(ev(state, {"image": jnp.asarray(u8), "label": labels}))
+    l_prep = float(ev(state, {"image": prepare_batch(jnp.asarray(u8), None,
+                                                     "none", "tanh"),
+                              "label": labels}))
+    assert l_raw == l_prep, (l_raw, l_prep)
+    assert np.isfinite(l_raw)

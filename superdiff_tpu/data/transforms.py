@@ -123,9 +123,14 @@ def _shift1d(img: jnp.ndarray, off: jnp.ndarray, axis: int,
         for d in range(2 * max_shift + 1)])              # (S, B, H, W, C)
     shifts = jnp.arange(-max_shift, max_shift + 1, dtype=jnp.float32)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(off[..., None] + shifts))
+    # HIGHEST precision: the TPU default lowers f32 dots to bf16 multiplies,
+    # which would quantize EVERY image ~3x per step (including angle-0 ones
+    # — the whole batch flows through the shears); the contraction is only
+    # 2*max_shift+1 long, so full f32 costs nothing measurable.
+    prec = jax.lax.Precision.HIGHEST
     if axis == 2:
-        return jnp.einsum("sbhwc,bhs->bhwc", stack, w)
-    return jnp.einsum("sbhwc,bws->bhwc", stack, w)
+        return jnp.einsum("sbhwc,bhs->bhwc", stack, w, precision=prec)
+    return jnp.einsum("sbhwc,bws->bhwc", stack, w, precision=prec)
 
 
 def _rotate_shear3(batch: jnp.ndarray, angles: jnp.ndarray,
@@ -138,7 +143,7 @@ def _rotate_shear3(batch: jnp.ndarray, angles: jnp.ndarray,
     comparison there is meaningless). ``max_deg`` is the static tier
     bound that sizes the shift stacks.
     """
-    B, H, W = batch.shape[0], batch.shape[1], batch.shape[2]
+    H, W = batch.shape[1], batch.shape[2]
     cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
     ty = jnp.tan(angles / 2.0)
     sn = jnp.sin(angles)

@@ -41,10 +41,15 @@ from superdiff_tpu.utils.visualization import (
 logger = logging.getLogger("superdiff_tpu")
 
 
-def _synthetic_batches(cfg: Config, epoch: int
+def _synthetic_batches(cfg: Config, epoch: int, augmentation: str = None
                        ) -> Iterator[Dict[str, jnp.ndarray]]:
-    """Synthetic data path for smoke runs / missing datasets."""
+    """Synthetic data path for smoke runs / missing datasets.
+
+    ``augmentation`` overrides the training tier (validation passes
+    ``"none"`` — validation sees clean data, matching the real-data path).
+    """
     t = cfg.training
+    aug = t.augmentation if augmentation is None else augmentation
     steps = t.steps_per_epoch or 4
     for i in range(steps):
         imgs, labels = synthetic_xray_batch(
@@ -53,7 +58,7 @@ def _synthetic_batches(cfg: Config, epoch: int
         rng = jax.random.PRNGKey(epoch * 10_000 + i)
         image = prepare_batch(
             jnp.asarray((imgs * 255).astype(np.uint8)), rng,
-            augmentation=t.augmentation, normalization=t.normalization)
+            augmentation=aug, normalization=t.normalization)
         yield {"image": image, "label": jnp.asarray(labels)}
 
 
@@ -156,7 +161,7 @@ def train(cfg: Config,
             return ({"image": jnp.asarray(b["image"]),
                      "label": jnp.asarray(b["label"])}
                     for b in dm.iterator("val", epoch=0))
-        return _synthetic_batches(cfg, epoch=1_000_003)
+        return _synthetic_batches(cfg, epoch=1_000_003, augmentation="none")
 
     def run_validation() -> Optional[float]:
         batches = _val_batches()
@@ -336,7 +341,6 @@ def train(cfg: Config,
 
             if _every(t.vis_every, epoch) and last_real is not None:
                 if last_real.dtype == jnp.uint8:   # fused-prep batches
-                    from superdiff_tpu.data.transforms import prepare_batch
                     last_real = prepare_batch(last_real, None, "none",
                                               t.normalization)
                 n_vis = min(8, B)

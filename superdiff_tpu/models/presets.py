@@ -73,6 +73,17 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
                      num_res_blocks=2, attn_resolutions=(32, 16),
                      up_attn_resolutions=(16,),
                      num_heads=4, pixel_shuffle=2),
+    # attn256d with a slim top level: one ResBlock (instead of two) at the
+    # 128² C=64 level the round-3 xplane profile indicts (52% of the step
+    # is norm-chain HBM traffic, 62% of device time at >=128² shapes —
+    # BASELINE.md). Unlike fastattn256's 4x shuffle this keeps the level,
+    # just halves its norm passes; the deep levels keep full depth.
+    # Throughput/quality A/B: scripts/bench_r3_slim.py + run_quality_ab.sh.
+    "attn256s": dict(base_channels=64, channel_mults=(1, 2, 2, 4, 4),
+                     num_res_blocks=(1, 2, 2, 2, 2),
+                     attn_resolutions=(32, 16),
+                     up_attn_resolutions=(16,),
+                     num_heads=4, pixel_shuffle=2),
 }
 
 # 256² default = the round-3 unified flagship: best FID of all 256²

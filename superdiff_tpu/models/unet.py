@@ -32,7 +32,7 @@ FLOPs per sample (preset ``eff256``).
 
 from __future__ import annotations
 
-from typing import Sequence, Optional
+from typing import Sequence, Optional, Union
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -47,7 +47,17 @@ class CondUNet(nn.Module):
     out_channels: int = 1
     base_channels: int = 64
     channel_mults: Sequence[int] = (1, 2, 2, 4)
-    num_res_blocks: int = 2
+    num_res_blocks: Union[int, Sequence[int]] = 2
+                                   # int -> same count at every level; a
+                                   # per-level tuple (len(channel_mults))
+                                   # concentrates capacity where it is
+                                   # cheap: the profile (BASELINE.md r3)
+                                   # shows 62% of the flagship step runs at
+                                   # >=128² shapes, so e.g. (1, 2, 2, 2, 2)
+                                   # halves the dominant level's ResBlocks
+                                   # while the 32²/16²/8² levels keep full
+                                   # depth. Up path mirrors with +1 per
+                                   # level as usual.
     attn_resolutions: Sequence[int] = (16, 8)
     up_attn_resolutions: Optional[Sequence[int]] = None
                                    # None -> mirror attn_resolutions in the
@@ -97,12 +107,23 @@ class CondUNet(nn.Module):
         h = nn.Conv(self.base_channels, (3, 3), dtype=cd,
                     name="stem")(x.astype(cd))
 
+        n_levels = len(self.channel_mults)
+        if isinstance(self.num_res_blocks, int):
+            blocks_per_level = (self.num_res_blocks,) * n_levels
+        else:
+            blocks_per_level = tuple(self.num_res_blocks)
+            if len(blocks_per_level) != n_levels:
+                raise ValueError(
+                    f"num_res_blocks has {len(blocks_per_level)} entries "
+                    f"for {n_levels} levels (channel_mults="
+                    f"{tuple(self.channel_mults)})")
+
         resolution = x.shape[1]
         skips = [h]
         # --- down path ---
         for level, mult in enumerate(self.channel_mults):
             ch = self.base_channels * mult
-            for block in range(self.num_res_blocks):
+            for block in range(blocks_per_level[level]):
                 h = ResBlock(ch, compute_dtype=cd, groups=self.groups,
                              norm_dtype=self.norm_dtype,
                              dropout=self.dropout,
@@ -138,7 +159,7 @@ class CondUNet(nn.Module):
                    else self.up_attn_resolutions)
         for level, mult in reversed(list(enumerate(self.channel_mults))):
             ch = self.base_channels * mult
-            for block in range(self.num_res_blocks + 1):
+            for block in range(blocks_per_level[level] + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip.astype(cd)], axis=-1)
                 h = ResBlock(ch, compute_dtype=cd, groups=self.groups,

@@ -268,6 +268,47 @@ def test_attn256d_down_only_attention(rng):
     assert out.shape == x.shape and bool(jnp.isfinite(out).all())
 
 
+def test_cond_unet_per_level_res_blocks(rng):
+    """``num_res_blocks`` accepts a per-level tuple: level i gets exactly
+    blocks[i] down ResBlocks and blocks[i]+1 up ResBlocks, an int stays
+    uniform, and a wrong-length tuple is rejected. The tuple form exists to
+    slim the dominant top level (BASELINE.md round-3 profile: 52% of the
+    flagship step is norm traffic at >=128² shapes) without touching the
+    cheap deep levels."""
+    m = _tiny_cond_unet(channel_mults=(1, 2, 2), num_res_blocks=(1, 2, 1),
+                        attn_resolutions=())
+    x = jnp.zeros((1, 16, 16, 1))
+    t = jnp.array([3])
+    y = jnp.array([1])
+    p = m.init(rng, x, t, y)
+    names = set(p["params"])
+    # down path: blocks[i] per level
+    assert "down_0_block_0" in names and "down_0_block_1" not in names
+    assert "down_1_block_1" in names and "down_1_block_2" not in names
+    assert "down_2_block_0" in names and "down_2_block_1" not in names
+    # up path: blocks[i] + 1 per level
+    assert "up_0_block_1" in names and "up_0_block_2" not in names
+    assert "up_1_block_2" in names and "up_1_block_3" not in names
+    assert "up_2_block_1" in names and "up_2_block_2" not in names
+    out = m.apply(p, x, t, y)
+    assert out.shape == x.shape and bool(jnp.isfinite(out).all())
+
+    # int form is the same model as the all-equal tuple
+    mi = _tiny_cond_unet(channel_mults=(1, 2), num_res_blocks=2,
+                         attn_resolutions=())
+    mt = _tiny_cond_unet(channel_mults=(1, 2), num_res_blocks=(2, 2),
+                         attn_resolutions=())
+    pi = mi.init(jax.random.PRNGKey(7), x, t, y)
+    pt = mt.init(jax.random.PRNGKey(7), x, t, y)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: bool((a == b).all()), pi, pt))
+
+    bad = _tiny_cond_unet(channel_mults=(1, 2), num_res_blocks=(1, 2, 1),
+                          attn_resolutions=())
+    with pytest.raises(ValueError, match="num_res_blocks"):
+        bad.init(rng, x, t, y)
+
+
 def test_fastattn256_preset(rng):
     """fastattn256 = fast256's 4x-shuffle topology + attn256d's attention
     policy (32² attention down+mid, 16² both paths)."""

@@ -56,6 +56,8 @@ def _coerce(value: Any, typ: Any) -> Any:
         elt = args[0] if args else str
         if isinstance(value, str):
             value = [v for v in value.replace(",", " ").split() if v]
+        elif not isinstance(value, (list, tuple)):
+            value = [value]             # scalar -> 1-tuple (e.g. "=3")
         return tuple(_coerce(v, elt) for v in value)
     if origin in (list, List):
         args = typing.get_args(typ)
@@ -121,6 +123,12 @@ class ModelConfig:
     # still reduce in f32. Set "float32" for exact round-2 numerics.
     norm_dtype: str = "bfloat16"        # bfloat16|float32
     base_channels: Optional[int] = None  # preset overrides
+    # Optional preset override: ResBlock count, either one int (uniform,
+    # pass "2") or one per pyramid level ("1,2,2,2,2" — must match the
+    # preset's channel_mults length). Per-level counts slim the expensive
+    # top levels where the round-3 profile puts 52% of the step
+    # (BASELINE.md); None keeps the preset's value.
+    num_res_blocks: Optional[Tuple[int, ...]] = None
     dropout: float = 0.0
 
 

@@ -119,6 +119,11 @@ def model_from_config(cfg) -> CondUNet:
     overrides = {}
     if cfg.model.base_channels:
         overrides["base_channels"] = cfg.model.base_channels
+    nrb = getattr(cfg.model, "num_res_blocks", None)
+    if nrb:
+        # one entry -> uniform int; several -> per-level tuple (CondUNet
+        # validates the length against the preset's channel_mults)
+        overrides["num_res_blocks"] = nrb[0] if len(nrb) == 1 else tuple(nrb)
     dtypes = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
     nd = getattr(cfg.model, "norm_dtype", "float32")
     if nd not in dtypes or cfg.model.compute_dtype not in dtypes:

@@ -75,3 +75,22 @@ def test_bad_override_format():
 def test_tuple_coercion():
     cfg = load_config(overrides=["superdiff.kappa=[0.3, 0.7]"])
     assert cfg.superdiff.kappa == (0.3, 0.7)
+
+
+def test_model_num_res_blocks_override():
+    """model.num_res_blocks reaches the built model: per-level list as a
+    tuple, single entry as a uniform int, default None keeps the preset."""
+    from superdiff_tpu.models.presets import model_from_config
+
+    cfg = load_config(overrides=["model.preset=attn256d",
+                                 "model.num_res_blocks=1,1,2,2,2"])
+    assert cfg.model.num_res_blocks == (1, 1, 2, 2, 2)
+    assert model_from_config(cfg).num_res_blocks == (1, 1, 2, 2, 2)
+
+    cfg = load_config(overrides=["model.preset=attn256d",
+                                 "model.num_res_blocks=3"])
+    assert model_from_config(cfg).num_res_blocks == 3
+
+    cfg = load_config(overrides=["model.preset=attn256s"])
+    assert cfg.model.num_res_blocks is None
+    assert model_from_config(cfg).num_res_blocks == (1, 2, 2, 2, 2)

@@ -3,9 +3,10 @@ from superdiff_tpu.parallel.mesh import (
     shard_sample, maybe_init_distributed, DATA_AXIS, MODEL_AXIS)
 from superdiff_tpu.parallel.tp import (
     param_shardings, shard_params, state_shardings, shard_state)
+from superdiff_tpu.parallel import fsdp
 
 __all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
            "shard_batch", "shard_sample", "maybe_init_distributed",
            "DATA_AXIS", "MODEL_AXIS",
            "param_shardings", "shard_params", "state_shardings",
-           "shard_state"]
+           "shard_state", "fsdp"]

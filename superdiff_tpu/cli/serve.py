@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="HTTP sampling service")
     p.add_argument("--run-dir", required=True,
                    help="training run dir or exported inference artifact")
+    p.add_argument("--run-dir2", default=None,
+                   help="second trained run: enables method=superdiff "
+                        "(online superposition with Itô log-densities in "
+                        "the response)")
     p.add_argument("--step", type=int, default=None)
     p.add_argument("--best", action="store_true",
                    help="serve the best-validation checkpoint")
@@ -37,8 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fixed device batch (the micro-batching capacity)")
     p.add_argument("--max-wait-ms", type=float, default=20.0,
                    help="coalescing window before a partial batch launches")
-    p.add_argument("--method", choices=["ddpm", "ddim", "dpmpp"],
+    p.add_argument("--method",
+                   choices=["ddpm", "ddim", "dpmpp", "superdiff"],
                    default="ddim", help="spec warmed at startup")
+    p.add_argument("--mode", choices=["or", "and"], default="or",
+                   help="superdiff mixing mode for the warmed spec")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--data-parallel", action="store_true",
                    help="shard each batch over all devices")
@@ -65,13 +72,28 @@ def main(argv=None) -> int:
                                          best=args.best)
     model, ema = apply_sampling_policy(model, ema)
 
+    model2 = ema2 = None
+    if args.run_dir2:
+        cfg2, model2, schedule2, ema2 = load_run(args.run_dir2)
+        if cfg2.training.resolution != cfg.training.resolution:
+            raise SystemExit("--run-dir2 resolution differs from --run-dir")
+        import numpy as np
+        if not np.allclose(np.asarray(schedule2.betas),
+                           np.asarray(schedule.betas)):
+            raise SystemExit("--run-dir2 diffusion schedule differs — "
+                             "superposition requires a shared forward SDE")
+        model2, ema2 = apply_sampling_policy(model2, ema2)
+    elif args.method == "superdiff":
+        raise SystemExit("--method superdiff requires --run-dir2")
+
     service = SamplerService(
         model, schedule, ema, resolution=cfg.training.resolution,
         conditional=cfg.model.conditional, batch_size=args.batch_size,
-        max_wait_ms=args.max_wait_ms, mesh=mesh)
+        max_wait_ms=args.max_wait_ms, mesh=mesh,
+        params2=ema2, model2=model2)
 
     steps = args.steps or (10 if args.method == "dpmpp" else 50)
-    spec = SampleSpec(method=args.method, steps=steps)
+    spec = SampleSpec(method=args.method, steps=steps, mode=args.mode)
     print(f"warming {spec} at batch {args.batch_size} ...", flush=True)
     sec = service.warmup(spec)
     print(f"warm ({sec:.1f}s). serving on http://{args.host}:{args.port}",

@@ -26,12 +26,22 @@ TPU-native design:
 No framework dependencies: the HTTP layer is ``http.server`` from the
 stdlib (ThreadingHTTPServer), JSON in / JSON+base64 out.
 
+With a second model loaded (``--run-dir2``) the service also serves the
+framework's namesake capability online: ``method="superdiff"`` runs the
+two-model superposition (sequential per-model closures — the production
+arrangement ``cli/sample.py`` ships) and returns the per-sample Itô
+log-density matrix in the response's ``logq`` field, so clients see
+which model "owns" each superposed sample.
+
 Usage (see ``cli/serve.py`` for flags)::
 
     python -m superdiff_tpu.cli.serve --run-dir RUN --port 8000
     curl -s localhost:8000/healthz
     curl -s -X POST localhost:8000/sample \
         -d '{"num": 4, "label": 1, "method": "dpmpp", "steps": 10}'
+    # superposition (requires --run-dir2):
+    curl -s -X POST localhost:8000/sample \
+        -d '{"num": 4, "method": "superdiff", "mode": "or"}'
 """
 
 from __future__ import annotations
@@ -49,7 +59,8 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
-_METHODS = ("ddpm", "ddim", "dpmpp")
+_METHODS = ("ddpm", "ddim", "dpmpp", "superdiff")
+_SD_MODES = ("or", "and")
 
 _log = logging.getLogger("superdiff_tpu.serve")
 
@@ -61,23 +72,32 @@ class SampleSpec:
     steps: int = 50
     eta: float = 0.0
     guidance: float = 1.0
+    mode: str = "or"              # superdiff mixing mode (ignored otherwise)
 
     def canonical(self, T: int) -> "SampleSpec":
         """Validate and normalize to the executable-cache key. Fields a
         method ignores are folded to one canonical value so equivalent
         requests never compile twice: ``ddpm`` always runs the full
         schedule (steps -> T) and is ancestral (eta rejected, like dpmpp);
-        only ddim consumes eta."""
+        only ddim consumes eta; only superdiff consumes mode."""
         if self.method not in _METHODS:
             raise ValueError(f"method must be one of {_METHODS}")
         if self.method != "ddim" and self.eta:
             raise ValueError("eta only applies to ddim (ddpm is ancestral "
                              "at full T; dpmpp is an ODE)")
-        steps = int(T) if self.method == "ddpm" else int(self.steps)
+        if self.method == "superdiff":
+            if self.mode not in _SD_MODES:
+                raise ValueError(f"mode must be one of {_SD_MODES}")
+            if self.guidance != 1.0:
+                raise ValueError("guidance does not apply to superdiff "
+                                 "(the mixture IS the conditioning)")
+        steps = (int(T) if self.method in ("ddpm", "superdiff")
+                 else int(self.steps))
         if not 1 <= steps <= T:
             raise ValueError(f"steps must be in [1, {T}]")
+        mode = self.mode if self.method == "superdiff" else "or"
         return SampleSpec(self.method, steps, float(self.eta),
-                          float(self.guidance))
+                          float(self.guidance), mode)
 
     def validate(self, T: int) -> None:
         self.canonical(T)
@@ -91,6 +111,7 @@ class _Request:
     seed: Optional[int]
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None
+    logq: Optional[np.ndarray] = None   # (2, num) Itô log-densities (superdiff)
     error: Optional[Exception] = None
 
 
@@ -105,7 +126,7 @@ class SamplerService:
     def __init__(self, model, schedule, params, resolution: int,
                  conditional: bool, batch_size: int = 16,
                  max_wait_ms: float = 20.0, autostart: bool = True,
-                 mesh=None):
+                 mesh=None, params2=None, model2=None):
         import jax
 
         self._model = model
@@ -116,6 +137,11 @@ class SamplerService:
         self._max_wait = max_wait_ms / 1e3
         self._mesh = mesh
         self._params = self._place(params)
+        # optional second model: enables method="superdiff" (the namesake
+        # capability, served online — sequential per-model closures, the
+        # production arrangement cli/sample.py ships)
+        self._model2 = model2 if model2 is not None else model
+        self._params2 = self._place(params2) if params2 is not None else None
         self._null = int(getattr(model, "null_label", 0))
         self._num_classes = int(getattr(model, "num_classes", 0) or 0)
 
@@ -150,10 +176,14 @@ class SamplerService:
                seed: Optional[int] = None) -> _Request:
         spec = (spec or SampleSpec()).canonical(
             int(self._schedule.betas.shape[0]))
+        if spec.method == "superdiff" and self._params2 is None:
+            raise ValueError("service holds one model; superdiff needs a "
+                             "second (--run-dir2)")
         if not self._conditional and spec.guidance != 1.0:
             # guidance never reaches the unconditional sampler; fold it so
             # clients varying it don't each compile an identical executable
-            spec = SampleSpec(spec.method, spec.steps, spec.eta, 1.0)
+            spec = SampleSpec(spec.method, spec.steps, spec.eta, 1.0,
+                              spec.mode)
         if not 1 <= num <= self._B:
             raise ValueError(f"num must be in [1, {self._B}] "
                              "(the service's fixed batch size)")
@@ -273,7 +303,7 @@ class SamplerService:
                 else int.from_bytes(os.urandom(4), "little"))
 
         try:
-            imgs = self._launch(first.spec, labels, int(seed))
+            imgs, logq = self._launch(first.spec, labels, int(seed))
         except Exception as e:
             for r in batch:
                 r.error = e
@@ -282,6 +312,8 @@ class SamplerService:
         off = 0
         for r in batch:
             r.result = imgs[off:off + r.num]
+            if logq is not None:
+                r.logq = logq[:, off:off + r.num]
             off += r.num
             r.done.set()
         with self._lock:
@@ -313,6 +345,32 @@ class SamplerService:
 
         shape = (self._B, self._resolution, self._resolution, 1)
         schedule = self._schedule
+        if spec.method == "superdiff":
+            from superdiff_tpu.diffusion.superdiff import superdiff_sample
+
+            lab = "per_sample" if self._conditional else None
+            a1 = make_eps_fn_p(self._model, lab)
+            a2 = make_eps_fn_p(self._model2, lab)
+
+            def sd_sampler(rng, p1, p2, y):
+                if self._conditional:
+                    fns = [lambda xx, tt: a1(p1, xx, tt, y),
+                           lambda xx, tt: a2(p2, xx, tt, y)]
+                else:
+                    fns = [lambda xx, tt: a1(p1, xx, tt),
+                           lambda xx, tt: a2(p2, xx, tt)]
+                return superdiff_sample(schedule, fns, shape, rng,
+                                        mode=spec.mode)
+
+            if self._mesh is not None:
+                from superdiff_tpu.parallel import shard_sample
+                fn = shard_sample(sd_sampler, self._mesh, with_logq=True)
+            else:
+                fn = jax.jit(sd_sampler)
+            self._jits[spec] = fn
+            with self._lock:
+                self.stats["compiles"] += 1
+            return fn
         if self._conditional:
             applyp = make_eps_fn_p(self._model, "per_sample")
 
@@ -349,18 +407,26 @@ class SamplerService:
         return fn
 
     def _launch(self, spec: SampleSpec, labels: np.ndarray,
-                seed: int) -> np.ndarray:
+                seed: int) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Returns ``(images, logq)`` — ``logq`` is the (2, B) Itô
+        log-density matrix for superdiff specs, None otherwise."""
         import jax
         import jax.numpy as jnp
 
         fn = self._get_jit(spec)
         tic = time.time()
-        out = fn(jax.random.PRNGKey(seed), self._params,
-                 jnp.asarray(labels))
+        logq = None
+        if spec.method == "superdiff":
+            out, logq = fn(jax.random.PRNGKey(seed), self._params,
+                           self._params2, jnp.asarray(labels))
+        else:
+            out = fn(jax.random.PRNGKey(seed), self._params,
+                     jnp.asarray(labels))
         out.block_until_ready()
         with self._lock:
             self.stats["device_ms_total"] += (time.time() - tic) * 1e3
-        return np.asarray(out, dtype=np.float32)
+        return (np.asarray(out, dtype=np.float32),
+                None if logq is None else np.asarray(logq, np.float32))
 
 
 # ------------------------------------------------------------------ HTTP
@@ -418,10 +484,14 @@ def make_http_server(service: SamplerService, host: str = "127.0.0.1",
                                  "backend": jax.default_backend(),
                                  "devices": len(jax.devices())})
             elif self.path == "/info":
+                superposed = service._params2 is not None
+                methods = [m for m in _METHODS
+                           if m != "superdiff" or superposed]
                 self._json(200, {
                     "resolution": service.resolution,
                     "batch_size": service.batch_size,
-                    "methods": list(_METHODS),
+                    "methods": methods,
+                    "superdiff_modes": list(_SD_MODES) if superposed else [],
                     "conditional": service._conditional, **info})
             elif self.path == "/metrics":
                 self._json(200, dict(service.stats))
@@ -440,16 +510,28 @@ def make_http_server(service: SamplerService, host: str = "127.0.0.1",
                                        50 if body.get("method", "ddim")
                                        != "dpmpp" else 10)),
                     eta=float(body.get("eta", 0.0)),
-                    guidance=float(body.get("guidance", 1.0)))
-                imgs = service.sample(
+                    guidance=float(body.get("guidance", 1.0)),
+                    mode=body.get("mode", "or"))
+                req = service.submit(
                     int(body.get("num", 1)),
                     label=body.get("label"),
                     spec=spec, seed=body.get("seed"))
+                if not req.done.wait(600.0):
+                    raise TimeoutError("sampling request timed out")
+                if req.error is not None:
+                    raise req.error
+                imgs = req.result
                 fmt = body.get("format", "png")
                 data, ctype = encode_images(imgs, fmt)
-                self._json(200, {"num": int(imgs.shape[0]),
-                                 "shape": list(imgs.shape),
-                                 "content_type": ctype, "data": data})
+                payload = {"num": int(imgs.shape[0]),
+                           "shape": list(imgs.shape),
+                           "content_type": ctype, "data": data}
+                if req.logq is not None:
+                    # per-sample Itô log-densities under each model — the
+                    # superposition diagnostic (which model "owns" a sample)
+                    payload["logq"] = [[float(v) for v in row]
+                                       for row in req.logq]
+                self._json(200, payload)
             except (ValueError, KeyError, TypeError) as e:
                 self._json(400, {"error": str(e)})
             except TimeoutError as e:

@@ -195,3 +195,94 @@ def test_http_end_to_end():
     finally:
         httpd.shutdown()
         svc.close()
+
+
+def _second_params(model):
+    x = jnp.zeros((B, RES, RES, 1))
+    t = jnp.zeros((B,), jnp.int32)
+    y = jnp.zeros((B,), jnp.int32)
+    return model.init(jax.random.PRNGKey(11), x, t, y)
+
+
+@pytest.fixture(scope="module")
+def sd_service():
+    model, params = _model_params()
+    svc = SamplerService(model, make_schedule(20), params, resolution=RES,
+                         conditional=True, batch_size=B, max_wait_ms=5.0,
+                         autostart=False, params2=_second_params(model))
+    yield svc
+    svc.close()
+
+
+def test_superdiff_serving(sd_service):
+    """method=superdiff serves superposed samples with per-request Itô
+    log-densities sliced out of the coalesced launch."""
+    spec = SampleSpec(method="superdiff", mode="or")
+    r1 = sd_service.submit(2, label=0, spec=spec)
+    r2 = sd_service.submit(1, label=1, spec=spec)
+    assert sd_service.step_once() == 2                 # coalesced
+    for r, n in ((r1, 2), (r2, 1)):
+        assert r.done.is_set() and r.error is None
+        assert r.result.shape == (n, RES, RES, 1)
+        assert np.isfinite(r.result).all()
+        assert r.logq is not None and r.logq.shape == (2, n)
+        assert np.isfinite(r.logq).all()
+
+    # AND mode compiles its own executable and equalizes the densities
+    r3 = sd_service.submit(2, spec=SampleSpec(method="superdiff",
+                                              mode="and"))
+    assert sd_service.step_once() == 1
+    assert r3.error is None and r3.logq.shape == (2, 2)
+    gap = np.abs(r3.logq[0] - r3.logq[1]).max()
+    assert gap < 5.0, gap       # T=20 toy schedule: small, not exact
+
+    # single-model specs still carry no logq
+    r4 = sd_service.submit(1, spec=FAST)
+    sd_service.step_once()
+    assert r4.logq is None
+
+
+def test_superdiff_spec_validation(service, sd_service):
+    # one-model service refuses superposition
+    with pytest.raises(ValueError, match="second"):
+        service.submit(1, spec=SampleSpec(method="superdiff"))
+    # bad mode / eta / guidance rejected at the boundary
+    with pytest.raises(ValueError, match="mode"):
+        sd_service.submit(1, spec=SampleSpec(method="superdiff",
+                                             mode="xor"))
+    with pytest.raises(ValueError, match="eta"):
+        sd_service.submit(1, spec=SampleSpec(method="superdiff", eta=0.3))
+    with pytest.raises(ValueError, match="guidance"):
+        sd_service.submit(1, spec=SampleSpec(method="superdiff",
+                                             guidance=2.0))
+    # steps fold to T and mode folds to "or" for non-superdiff methods
+    a = SampleSpec(method="superdiff", steps=3).canonical(20)
+    assert a.steps == 20 and a.mode == "or"
+    b = SampleSpec(method="ddim", steps=5, mode="and").canonical(20)
+    assert b.mode == "or"
+
+
+def test_superdiff_http(sd_service):
+    httpd = make_http_server(sd_service, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{port}"
+    drain = threading.Thread(
+        target=lambda: [sd_service.step_once(block=True) for _ in range(1)],
+        daemon=True)
+    drain.start()
+    try:
+        inf = json.load(urllib.request.urlopen(f"{base}/info"))
+        assert "superdiff" in inf["methods"]
+        assert inf["superdiff_modes"] == ["or", "and"]
+        body = json.dumps({"num": 2, "method": "superdiff", "mode": "or",
+                           "format": "npy", "seed": 5}).encode()
+        resp = json.load(urllib.request.urlopen(
+            urllib.request.Request(f"{base}/sample", data=body,
+                                   method="POST")))
+        assert resp["shape"] == [2, RES, RES, 1]
+        assert len(resp["logq"]) == 2 and len(resp["logq"][0]) == 2
+        assert all(np.isfinite(v) for row in resp["logq"] for v in row)
+    finally:
+        httpd.shutdown()

@@ -86,26 +86,26 @@ class CondUNet(nn.Module):
         return self.num_classes
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, t: jnp.ndarray,
+    def __call__(self, x: Optional[jnp.ndarray], t: Optional[jnp.ndarray],
                  y: Optional[jnp.ndarray] = None,
-                 deterministic: bool = True) -> jnp.ndarray:
-        emb_dim = self.time_emb_dim * 4
-        emb = TimeEmbeddingMLP(self.time_emb_dim, out_dim=emb_dim,
-                               name="time_mlp")(t)
-        if self.num_classes > 0:
-            if y is None:
-                raise ValueError(
-                    "CondUNet(num_classes>0) requires labels y; pass "
-                    "y=full(null_label) for unconditional use.")
-            emb = emb + nn.Embed(self.num_classes + 1, emb_dim,
-                                 name="class_emb")(y)
+                 deterministic: bool = True,
+                 stage: str = "all",
+                 pp_state=None) -> jnp.ndarray:
+        """Full forward (``stage="all"``), or one pipeline stage.
 
+        ``stage="down"`` runs embeddings + stem + down path and returns the
+        pipeline payload ``(h, skips, emb)``; ``stage="up"`` consumes that
+        payload (as ``pp_state``; ``x``/``t``/``y`` may be None) and runs
+        mid + up + out. Both stage paths create modules with exactly the
+        names the full path creates, so one trained checkpoint splits into
+        per-stage parameter subsets by top-level name
+        (``parallel/pp.py::split_params``) — pipeline parallelism without
+        a separate checkpoint format.
+        """
+        if stage not in ("all", "down", "up"):
+            raise ValueError(f"stage must be all/down/up, got {stage!r}")
         cd = self.compute_dtype
         p = self.pixel_shuffle
-        if p > 1:
-            x = space_to_depth(x, p)
-        h = nn.Conv(self.base_channels, (3, 3), dtype=cd,
-                    name="stem")(x.astype(cd))
 
         n_levels = len(self.channel_mults)
         if isinstance(self.num_res_blocks, int):
@@ -118,27 +118,54 @@ class CondUNet(nn.Module):
                     f"for {n_levels} levels (channel_mults="
                     f"{tuple(self.channel_mults)})")
 
-        resolution = x.shape[1]
-        skips = [h]
-        # --- down path ---
-        for level, mult in enumerate(self.channel_mults):
-            ch = self.base_channels * mult
-            for block in range(blocks_per_level[level]):
-                h = ResBlock(ch, compute_dtype=cd, groups=self.groups,
-                             norm_dtype=self.norm_dtype,
-                             dropout=self.dropout,
-                             name=f"down_{level}_block_{block}")(
-                                 h, emb, deterministic)
-                if resolution in self.attn_resolutions:
-                    h = SelfAttention2D(self.num_heads, compute_dtype=cd,
-                                        norm_dtype=self.norm_dtype,
-                                        name=f"down_{level}_attn_{block}")(h)
-                skips.append(h)
-            if level != len(self.channel_mults) - 1:
-                h = Downsample(compute_dtype=cd,
-                               name=f"down_{level}_downsample")(h)
-                resolution //= 2
-                skips.append(h)
+        if stage == "up":
+            if pp_state is None:
+                raise ValueError('stage="up" requires pp_state='
+                                 '(h, skips, emb) from stage="down"')
+            h, skips, emb = pp_state
+            skips = list(skips)
+            resolution = h.shape[1]
+        else:
+            emb_dim = self.time_emb_dim * 4
+            emb = TimeEmbeddingMLP(self.time_emb_dim, out_dim=emb_dim,
+                                   name="time_mlp")(t)
+            if self.num_classes > 0:
+                if y is None:
+                    raise ValueError(
+                        "CondUNet(num_classes>0) requires labels y; pass "
+                        "y=full(null_label) for unconditional use.")
+                emb = emb + nn.Embed(self.num_classes + 1, emb_dim,
+                                     name="class_emb")(y)
+
+            if p > 1:
+                x = space_to_depth(x, p)
+            h = nn.Conv(self.base_channels, (3, 3), dtype=cd,
+                        name="stem")(x.astype(cd))
+
+            resolution = x.shape[1]
+            skips = [h]
+            # --- down path ---
+            for level, mult in enumerate(self.channel_mults):
+                ch = self.base_channels * mult
+                for block in range(blocks_per_level[level]):
+                    h = ResBlock(ch, compute_dtype=cd, groups=self.groups,
+                                 norm_dtype=self.norm_dtype,
+                                 dropout=self.dropout,
+                                 name=f"down_{level}_block_{block}")(
+                                     h, emb, deterministic)
+                    if resolution in self.attn_resolutions:
+                        h = SelfAttention2D(
+                            self.num_heads, compute_dtype=cd,
+                            norm_dtype=self.norm_dtype,
+                            name=f"down_{level}_attn_{block}")(h)
+                    skips.append(h)
+                if level != len(self.channel_mults) - 1:
+                    h = Downsample(compute_dtype=cd,
+                                   name=f"down_{level}_downsample")(h)
+                    resolution //= 2
+                    skips.append(h)
+            if stage == "down":
+                return h, tuple(skips), emb
 
         # --- middle ---
         mid_ch = self.base_channels * self.channel_mults[-1]

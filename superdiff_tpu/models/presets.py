@@ -77,13 +77,27 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
     # 128² C=64 level the round-3 xplane profile indicts (52% of the step
     # is norm-chain HBM traffic, 62% of device time at >=128² shapes —
     # BASELINE.md). Unlike fastattn256's 4x shuffle this keeps the level,
-    # just halves its norm passes; the deep levels keep full depth.
-    # Throughput/quality A/B: scripts/bench_r3_slim.py + run_quality_ab.sh.
+    # just halves its norm passes. Measured: 2.05 samples/sec (+21%) but
+    # shared-extractor FID 7.05 vs the flagship's 6.54 — superseded by
+    # slim256 below, which is faster AND scored better; kept because
+    # trained artifacts reference it (config snapshots must rebuild the
+    # exact architecture).
     "attn256s": dict(base_channels=64, channel_mults=(1, 2, 2, 4, 4),
                      num_res_blocks=(1, 2, 2, 2, 2),
                      attn_resolutions=(32, 16),
                      up_attn_resolutions=(16,),
                      num_heads=4, pixel_shuffle=2),
+    # THE 256² speed/quality middle point: slim at 128² AND 64². Measured
+    # (BASELINE.md round-3 slim sweep + quality A/B): 2.21 samples/sec
+    # DDPM-1000 (+31% over the flagship) at shared-extractor FID 6.94 vs
+    # the flagship's 6.54 — for throughput-leaning deployments where
+    # fastattn256's FID 13.0 is too coarse. The flagship attn256d keeps
+    # full depth and the best FID.
+    "slim256": dict(base_channels=64, channel_mults=(1, 2, 2, 4, 4),
+                    num_res_blocks=(1, 1, 2, 2, 2),
+                    attn_resolutions=(32, 16),
+                    up_attn_resolutions=(16,),
+                    num_heads=4, pixel_shuffle=2),
 }
 
 # 256² default = the round-3 unified flagship: best FID of all 256²

@@ -329,3 +329,20 @@ def test_fastattn256_preset(rng):
     assert not any(n.startswith("up_0_attn") for n in names), names
     out = m.apply(p, x, t, y)
     assert out.shape == x.shape and bool(jnp.isfinite(out).all())
+
+
+def test_all_presets_build():
+    """Every named preset constructs, and per-level block tuples always
+    match their channel_mults length (slim256/attn256s carry tuples)."""
+    from superdiff_tpu.models.presets import _PRESETS, build_model
+
+    for name, cfg in _PRESETS.items():
+        m = build_model(name, num_classes=2)
+        nrb = m.num_res_blocks
+        if not isinstance(nrb, int):
+            assert len(nrb) == len(m.channel_mults), name
+    # the slim speed/quality middle point keeps the flagship's attention
+    m = build_model("slim256", num_classes=2)
+    assert m.num_res_blocks == (1, 1, 2, 2, 2)
+    assert tuple(m.attn_resolutions) == (32, 16)
+    assert tuple(m.up_attn_resolutions) == (16,)

@@ -46,6 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--extractor-checkpoint", default=None,
                    help="local checkpoint path/dir for "
                         "resnet18/densenet121/hf extractors")
+    p.add_argument("--guidance", type=float, default=1.0,
+                   help="classifier-free guidance scale; values != 1 "
+                        "sample class-conditionally (implies "
+                        "--labels balanced unless set)")
+    p.add_argument("--labels", choices=["null", "balanced"], default=None,
+                   help="conditioning for generated samples: 'null' = "
+                        "unconditional (default), 'balanced' = cycle "
+                        "through the model's classes (required for "
+                        "guidance > 1 to mean anything)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None,
                    help="write metrics JSON here (default: <run>/eval.json)")
@@ -77,33 +86,61 @@ def main(argv=None) -> int:
     s_model, s_ema = apply_sampling_policy(model, ema)
     # params stay jit ARGUMENTS (not closure constants) — see
     # make_eps_fn_p: remote-compile requests must not embed the weights
-    applyp = make_eps_fn_p(s_model)
+    labels_mode = args.labels or ("balanced" if args.guidance != 1.0
+                                  else "null")
+    conditional = cfg.model.conditional and labels_mode == "balanced"
+    if args.guidance != 1.0 and not cfg.model.conditional:
+        raise SystemExit("--guidance needs a class-conditional run")
     results = {}
 
     # --- generate ---
     shape = (B, R, R, 1)
-    if args.method == "ddim":
-        def _sample(r, p):
-            return ddim_sample(schedule, lambda x, t: applyp(p, x, t),
-                               shape, r, num_steps=args.num_steps)
-    elif args.method == "dpmpp":
-        def _sample(r, p):
-            return dpmpp_sample(schedule, lambda x, t: applyp(p, x, t),
-                                shape, r, num_steps=args.num_steps)
+    if conditional:
+        # balanced class conditioning (+ optional CFG): cycle labels so the
+        # generated set covers every class evenly, matching how a user
+        # samples the conditional model (guidance 1.0 = plain conditional)
+        applyp = make_eps_fn_p(s_model, "per_sample")
+        nc = cfg.model.num_classes
+        extra = dict(guidance_scale=args.guidance,
+                     null_label=s_model.null_label)
+
+        def _eps(p):
+            return lambda x, t, y: applyp(p, x, t, y)
     else:
-        def _sample(r, p):
-            return ddpm_sample(schedule, lambda x, t: applyp(p, x, t),
-                               shape, r)
+        applyp = make_eps_fn_p(s_model)
+        extra = {}
+
+        def _eps(p):
+            return lambda x, t: applyp(p, x, t)
+
+    if args.method == "ddim":
+        def _sample(r, p, y):
+            kw = dict(extra, y=y) if conditional else extra
+            return ddim_sample(schedule, _eps(p), shape, r,
+                               num_steps=args.num_steps, **kw)
+    elif args.method == "dpmpp":
+        def _sample(r, p, y):
+            kw = dict(extra, y=y) if conditional else extra
+            return dpmpp_sample(schedule, _eps(p), shape, r,
+                                num_steps=args.num_steps, **kw)
+    else:
+        def _sample(r, p, y):
+            kw = dict(extra, y=y) if conditional else extra
+            return ddpm_sample(schedule, _eps(p), shape, r, **kw)
     sampler = jax.jit(_sample)
     gen = []
     n_batches = (args.num_samples + B - 1) // B
     for i in range(n_batches):
-        x = sampler(jax.random.PRNGKey(args.seed + i), s_ema)
+        y = jnp.asarray((np.arange(B) + i * B) % max(
+            cfg.model.num_classes, 1), dtype=np.int32)
+        x = sampler(jax.random.PRNGKey(args.seed + i), s_ema, y)
         gen.append(np.asarray(x))
     gen = np.concatenate(gen)[:args.num_samples]
     results["num_generated"] = int(len(gen))
     results["sample_mean"] = float(gen.mean())
     results["sample_std"] = float(gen.std())
+    results["labels"] = labels_mode if cfg.model.conditional else "uncond"
+    results["guidance"] = float(args.guidance)
 
     # --- FID vs test split ---
     if args.dataset_root:

@@ -186,3 +186,28 @@ def test_submit_tpu_job_dry_run():
     assert "tpu_pod_run.sh superdiff-e1-r3" in out
     assert "launch_train.sh -e 1 -r 3 -d TB" in out
     assert "training.num_epochs=2" in out
+
+
+def test_evaluate_cli_guided_conditional(trained_run, tree16, tmp_path):
+    """--guidance samples class-conditionally with CFG (balanced labels);
+    the results record the conditioning so eval JSONs are self-describing."""
+    from superdiff_tpu.cli.evaluate import main
+
+    out = str(tmp_path / "eval_g.json")
+    rc = main(["--run-dir", trained_run, "--dataset-root", tree16,
+               "--num-samples", "8", "--batch-size", "8",
+               "--method", "ddim", "--num-steps", "5",
+               "--guidance", "2.0", "--out", out])
+    assert rc == 0
+    res = json.load(open(out))
+    assert res["guidance"] == 2.0 and res["labels"] == "balanced"
+    assert np.isfinite(res["fid"])
+
+    # guidance on an unconditional-labels run differs from the null path
+    out2 = str(tmp_path / "eval_null.json")
+    main(["--run-dir", trained_run, "--dataset-root", tree16,
+          "--num-samples", "8", "--batch-size", "8",
+          "--method", "ddim", "--num-steps", "5", "--out", out2])
+    res2 = json.load(open(out2))
+    assert res2["labels"] == "null" and res2["guidance"] == 1.0
+    assert res2["sample_mean"] != res["sample_mean"]

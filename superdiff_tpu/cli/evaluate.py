@@ -91,6 +91,11 @@ def main(argv=None) -> int:
     conditional = cfg.model.conditional and labels_mode == "balanced"
     if args.guidance != 1.0 and not cfg.model.conditional:
         raise SystemExit("--guidance needs a class-conditional run")
+    if args.guidance != 1.0 and labels_mode == "null":
+        # silently sampling unguided while recording guidance=2.0 would
+        # mislabel the metrics; CFG only exists relative to class labels
+        raise SystemExit("--guidance != 1 requires --labels balanced "
+                         "(CFG steers class-conditional samples)")
     results = {}
 
     # --- generate ---
@@ -100,7 +105,6 @@ def main(argv=None) -> int:
         # generated set covers every class evenly, matching how a user
         # samples the conditional model (guidance 1.0 = plain conditional)
         applyp = make_eps_fn_p(s_model, "per_sample")
-        nc = cfg.model.num_classes
         extra = dict(guidance_scale=args.guidance,
                      null_label=s_model.null_label)
 
@@ -173,11 +177,16 @@ def main(argv=None) -> int:
         check_superpose_compat(cfg, cfg2)
         s_model2, s_ema2 = apply_sampling_policy(model2, ema2)
         # sequential per-model calls: measured faster than the stacked
-        # vmap on TPU (see cli/sample.py and scripts/bench_superdiff.py)
+        # vmap on TPU (see cli/sample.py and scripts/bench_superdiff.py).
+        # Superposition always samples the null-label (unconditional)
+        # densities, independent of the FID section's conditioning — the
+        # conditional applyp above binds per-sample labels and must not
+        # be reused here.
+        apply1 = make_eps_fn_p(s_model)
         apply2 = make_eps_fn_p(s_model2)
 
         def _superposed(r, p1, p2):
-            fns = [lambda x, t: applyp(p1, x, t),
+            fns = [lambda x, t: apply1(p1, x, t),
                    lambda x, t: apply2(p2, x, t)]
             return superdiff_sample(schedule, fns, shape, r,
                                     mode="or", num_models=2)

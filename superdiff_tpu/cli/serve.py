@@ -74,14 +74,22 @@ def main(argv=None) -> int:
 
     model2 = ema2 = None
     if args.run_dir2:
+        from superdiff_tpu.inference import check_superpose_compat
+
         cfg2, model2, schedule2, ema2 = load_run(args.run_dir2)
-        if cfg2.training.resolution != cfg.training.resolution:
-            raise SystemExit("--run-dir2 resolution differs from --run-dir")
-        import numpy as np
-        if not np.allclose(np.asarray(schedule2.betas),
-                           np.asarray(schedule.betas)):
-            raise SystemExit("--run-dir2 diffusion schedule differs — "
-                             "superposition requires a shared forward SDE")
+        try:
+            # shared forward SDE: T / resolution / beta schedule
+            check_superpose_compat(cfg, cfg2)
+        except ValueError as e:
+            raise SystemExit(f"--run-dir2 incompatible: {e}")
+        # conditioning must agree too: the service sends ONE per-slot label
+        # vector to both models (mismatched num_classes would gather-clamp
+        # into the wrong class embedding silently)
+        if (cfg2.model.conditional != cfg.model.conditional
+                or cfg2.model.num_classes != cfg.model.num_classes):
+            raise SystemExit(
+                "--run-dir2 conditioning differs (conditional/num_classes "
+                "must match --run-dir for superposed serving)")
         model2, ema2 = apply_sampling_policy(model2, ema2)
     elif args.method == "superdiff":
         raise SystemExit("--method superdiff requires --run-dir2")

@@ -47,7 +47,6 @@ def _ring_attention_local(q, k, v, axis_name: str):
     the flash kernel.
     """
     n = jax.lax.psum(1, axis_name)
-    idx = jax.lax.axis_index(axis_name)
     B, S, H, D = q.shape
     scale = D ** -0.5
     # heads to the front: per-hop einsums are (B,H,S,D) x (B,H,T,D)
@@ -56,8 +55,7 @@ def _ring_attention_local(q, k, v, axis_name: str):
     # ring neighbor: shard i receives from i+1 (so hop j sees shard i+j)
     perm = [((i + 1) % n, i) for i in range(n)]
 
-    def hop(carry, _):
-        k_cur, v_cur, m, l, acc = carry
+    def _accumulate(k_cur, v_cur, m, l, acc):
         kh = jnp.swapaxes(k_cur, 1, 2).astype(jnp.float32)
         vh = jnp.swapaxes(v_cur, 1, 2).astype(jnp.float32)
         s = jnp.einsum("bhsd,bhtd->bhst", qh, kh)        # (B,H,S,T)
@@ -66,21 +64,29 @@ def _ring_attention_local(q, k, v, axis_name: str):
         p = jnp.exp(s - m_new)
         l = l * alpha + p.sum(axis=-1, keepdims=True)
         acc = acc * alpha + jnp.einsum("bhst,bhtd->bhsd", p, vh)
-        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
-        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
-        return (k_nxt, v_nxt, m_new, l, acc), None
+        return m_new, l, acc
 
-    # constants enter the scan carry as device-varying values (their
-    # updates mix in the ppermuted K/V shards, which vary over the axis)
-    m0, l0, acc0 = jax.lax.pcast(
-        (jnp.full((B, H, S, 1), -jnp.inf, jnp.float32),
-         jnp.zeros((B, H, S, 1), jnp.float32),
-         jnp.zeros((B, H, S, D), jnp.float32)), (axis_name,),
-        to="varying")
+    def hop(carry, _):
+        # rotate FIRST, then accumulate: hop 0 (the local shard) is folded
+        # out below, so the scan runs n-1 hops and the ring pays exactly
+        # n-1 K/V transfers — a trailing rotate-after-last-accumulate
+        # would be a dead collective XLA cannot DCE inside the scan body
+        k_cur, v_cur, m, l, acc = carry
+        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+        m, l, acc = _accumulate(k_cur, v_cur, m, l, acc)
+        return (k_cur, v_cur, m, l, acc), None
+
+    # hop 0: the resident shard, no communication
+    m0 = jnp.full((B, H, S, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((B, H, S, 1), jnp.float32)
+    acc0 = jnp.zeros((B, H, S, D), jnp.float32)
+    m0, l0, acc0 = _accumulate(k, v, m0, l0, acc0)
     (_, _, _, l, acc), _ = jax.lax.scan(
-        hop, (k, v, m0, l0, acc0), None, length=n)
+        hop, (k, v, m0, l0, acc0), None, length=n - 1)
     out = acc / l
-    del idx  # ring is rotation-invariant for full (non-causal) attention
+    # ring is rotation-invariant for full (non-causal) attention, so no
+    # axis_index bookkeeping is needed
     return jnp.swapaxes(out, 1, 2).astype(q.dtype)       # (B,S,H,D)
 
 

@@ -99,6 +99,11 @@ def make_pp_denoiser(model, params: Any,
         if B % m:
             raise ValueError(f"batch {B} not divisible by "
                              f"{m} microbatches")
+        if conditional and y is None:
+            raise ValueError(
+                "conditional model requires labels y; pass "
+                f"y=full(null_label={model.null_label}) for "
+                "unconditional use")
         mb = B // m
         x0 = jax.device_put(x, devs[0])
         t0 = jax.device_put(t, devs[0])

@@ -203,16 +203,25 @@ class SamplerService:
         self._q.put(req)
         return req
 
-    def sample(self, num: int, label: Optional[int] = None,
-               spec: Optional[SampleSpec] = None,
-               seed: Optional[int] = None,
-               timeout: float = 600.0) -> np.ndarray:
+    def sample_request(self, num: int, label: Optional[int] = None,
+                       spec: Optional[SampleSpec] = None,
+                       seed: Optional[int] = None,
+                       timeout: float = 600.0) -> _Request:
+        """Blocking submit: returns the completed request (``result`` +
+        ``logq`` for superdiff specs), raising its error/timeout."""
         req = self.submit(num, label=label, spec=spec, seed=seed)
         if not req.done.wait(timeout):
             raise TimeoutError("sampling request timed out")
         if req.error is not None:
             raise req.error
-        return req.result
+        return req
+
+    def sample(self, num: int, label: Optional[int] = None,
+               spec: Optional[SampleSpec] = None,
+               seed: Optional[int] = None,
+               timeout: float = 600.0) -> np.ndarray:
+        return self.sample_request(num, label=label, spec=spec, seed=seed,
+                                   timeout=timeout).result
 
     def warmup(self, spec: Optional[SampleSpec] = None) -> float:
         """Compile + run one batch of ``spec`` so the first real request
@@ -512,14 +521,10 @@ def make_http_server(service: SamplerService, host: str = "127.0.0.1",
                     eta=float(body.get("eta", 0.0)),
                     guidance=float(body.get("guidance", 1.0)),
                     mode=body.get("mode", "or"))
-                req = service.submit(
+                req = service.sample_request(
                     int(body.get("num", 1)),
                     label=body.get("label"),
                     spec=spec, seed=body.get("seed"))
-                if not req.done.wait(600.0):
-                    raise TimeoutError("sampling request timed out")
-                if req.error is not None:
-                    raise req.error
                 imgs = req.result
                 fmt = body.get("format", "png")
                 data, ctype = encode_images(imgs, fmt)

@@ -69,6 +69,13 @@ class CheckpointManager:
             step, args=ocp.args.StandardRestore(template))
         return state.replace(**restored)
 
+    def saving_in_progress(self) -> bool:
+        """True while a previous async save is still being written. A new
+        ``save()`` issued now would block until it finishes (observed ~9 s
+        per 37 M-param state over the remote-TPU tunnel), so callers with
+        skippable saves (best-val tagging) can test this and defer."""
+        return self._mngr.is_saving_in_progress()
+
     def wait(self) -> None:
         self._mngr.wait_until_finished()
 

@@ -242,9 +242,18 @@ def train(cfg: Config,
     last_real = None
     summary: Dict[str, float] = {}
     stopped = False
-    best_val = float("inf")
+    best_val = float("inf")        # best val seen (logging / metrics curve)
+    best_written = float("inf")    # val of the tagged best checkpoint
     best_val_step = -1
     ckpt_best: Optional[CheckpointManager] = None
+    pending_best = None            # (val, step, epoch) of a deferred write
+
+    def _write_best_json(step_, epoch_, val_):
+        import json
+        with open(os.path.join(paths.output_dir, "best_val.json"),
+                  "w") as f:
+            json.dump({"step": step_, "epoch": epoch_,
+                       "val_loss": val_}, f)
     try:
         for epoch in range(start_epoch, t.num_epochs):
             epoch_losses = []
@@ -322,19 +331,36 @@ def train(cfg: Config,
                     if _every(t.log_every, epoch):
                         logger.info("epoch %d: val_loss=%.4f%s", epoch + 1,
                                     val_loss, " (best)" if improved else "")
-                    if improved:
-                        best_val, best_val_step = val_loss, int(state.step)
+                    best_val = min(best_val, val_loss)
+                    # Tag the best-val checkpoint, but never *block* on it:
+                    # each write device_gets the full state (~9 s for a
+                    # 37 M-param 256² state over the remote tunnel), and
+                    # early training improves on almost every val pass — an
+                    # unthrottled best save per improvement serialized more
+                    # than half of wall-clock. If the previous best write is
+                    # still in flight, skip this one; the gate is
+                    # ``val_loss < best_written`` (not < best seen), so any
+                    # later state better than the *tagged* one still gets
+                    # written — the tag converges to the best achievable at
+                    # the writer's own pace.
+                    if val_loss < best_written:
                         if ckpt_best is None:
                             ckpt_best = CheckpointManager(
                                 paths.checkpoint_dir + "_best",
                                 max_to_keep=1)
-                        ckpt_best.save(state, force=True)
-                        import json
-                        with open(os.path.join(paths.output_dir,
-                                               "best_val.json"), "w") as f:
-                            json.dump({"step": best_val_step,
-                                       "epoch": epoch + 1,
-                                       "val_loss": best_val}, f)
+                        if ckpt_best.saving_in_progress():
+                            logger.info(
+                                "epoch %d: best-val save deferred "
+                                "(previous write in flight)", epoch + 1)
+                            pending_best = (val_loss, int(state.step),
+                                            epoch + 1)
+                        else:
+                            pending_best = None
+                            best_written = val_loss
+                            best_val_step = int(state.step)
+                            _write_best_json(best_val_step, epoch + 1,
+                                             best_written)
+                            ckpt_best.save(state, force=True)
 
             if _every(t.save_every, epoch):
                 ckpt.save(state)
@@ -367,8 +393,24 @@ def train(cfg: Config,
             summary["mean_last_epoch_loss"] = (
                 avg if not stopped else float(np.mean(epoch_losses)))
         ckpt.save(state, force=True)
+        if (ckpt_best is not None and pending_best is not None
+                and pending_best[0] < best_written
+                and pending_best[1] == int(state.step)):
+            # A deferred improvement at the FINAL val pass: no training
+            # step has happened since, so the current state IS the
+            # deferred-best state — wait out the in-flight write and tag
+            # it. (Mid-run deferrals can't be recovered — those params are
+            # gone — but they only stay untagged if nothing better than
+            # the written tag ever follows.)
+            ckpt_best.wait()
+            best_written, best_val_step, pend_epoch = pending_best
+            _write_best_json(best_val_step, pend_epoch, best_written)
+            ckpt_best.save(state, force=True)
         if ckpt_best is not None:
-            summary["best_val_loss"] = best_val
+            # report the TAGGED checkpoint's numbers (what best_val.json and
+            # <checkpoint_dir>_best actually hold); best seen may be lower
+            # if its write was deferred mid-improvement-burst
+            summary["best_val_loss"] = best_written
             summary["best_val_step"] = float(best_val_step)
     finally:
         # Restore process-wide handlers and close an in-flight trace

@@ -169,3 +169,53 @@ def test_val_split_smaller_than_batch_still_validates(tmp_path):
     assert len(vals) == 2 and all(v > 0 for v in vals)
     with open(os.path.join(out, "best_val.json")) as f:
         assert json.load(f)["step"] > 0
+
+
+def test_best_save_deferred_while_write_in_flight(tmp_path, monkeypatch):
+    """Best-val writes must never serialize training: when the previous
+    async best save is still being written, the improvement is skipped —
+    and because the write gate compares against the *tagged* value (not
+    best seen), a later state better than the tag still gets written.
+
+    Scripted val curve 3.0 -> 1.0 -> 2.0 with the 1.0 write "in flight":
+    the tag must land on 2.0 (the best achievable after the miss), and
+    best_val.json / summary must describe that tagged checkpoint."""
+    import jax.numpy as jnp
+
+    from superdiff_tpu.training import loop as loop_mod
+
+    scripted = iter([3.0, 1.0, 2.0])
+
+    def fake_make_eval_step(*a, **k):
+        def eval_fn(state, batch):
+            return jnp.asarray(next(scripted))
+        return eval_fn
+
+    monkeypatch.setattr(loop_mod, "make_eval_step", fake_make_eval_step)
+
+    in_flight = iter([False, True, False])   # one probe per improvement
+    monkeypatch.setattr(CheckpointManager, "saving_in_progress",
+                        lambda self: next(in_flight))
+
+    cfg = _cfg(tmp_path, epochs=3)
+    summary = train(cfg, use_synthetic=True)
+    out = os.path.join(str(tmp_path), "outputs", "PNEUMONIA",
+                       "experiment_v_run_0")
+
+    with open(os.path.join(out, "best_val.json")) as f:
+        tagged = json.load(f)
+    assert tagged["val_loss"] == 2.0          # not the missed 1.0, not 3.0
+    assert tagged["epoch"] == 3
+    assert summary["best_val_loss"] == 2.0
+    assert summary["best_val_step"] == tagged["step"]
+
+    # the _best manager holds exactly the tagged step
+    best = CheckpointManager(os.path.join(out, "checkpoints_best"),
+                             max_to_keep=1)
+    assert best.latest_step() == tagged["step"]
+    best.close()
+
+    # the metrics curve still tracks best *seen* (1.0), independent of tags
+    curve = [json.loads(l)["best_val_loss"] for l in open(
+        os.path.join(out, "metrics.jsonl")) if "best_val_loss" in l]
+    assert curve == [3.0, 1.0, 1.0]

@@ -42,8 +42,8 @@ def compare_runs(run_dir_a: str, run_dir_b: str, out_dir: str,
     # params as jit arguments, never closure constants (make_eps_fn_p):
     # two 256² UNets embedded in one remote-compile request exceed its
     # size limit (HTTP 413)
-    apply_a = make_eps_fn_p(model_a)
-    apply_b = make_eps_fn_p(model_b)
+    apply_a = make_eps_fn_p(model_a, schedule=schedule)
+    apply_b = make_eps_fn_p(model_b, schedule=schedule)
 
     def _single(r, p, applyp):
         return ddpm_sample(schedule, lambda x, t: applyp(p, x, t),

@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--method", choices=["ddpm", "ddim", "dpmpp"],
                    default="ddim")
     p.add_argument("--num-steps", type=int, default=100)
+    p.add_argument("--spacing", choices=["auto", "leading", "trailing"],
+                   default="auto",
+                   help="DDIM grid spacing; auto reads the run config's "
+                        "sampling.t_spacing (distilled students need "
+                        "trailing)")
     p.add_argument("--extractor",
                    choices=["diffusion", "random", "resnet18",
                             "densenet121", "hf"],
@@ -104,24 +109,28 @@ def main(argv=None) -> int:
         # balanced class conditioning (+ optional CFG): cycle labels so the
         # generated set covers every class evenly, matching how a user
         # samples the conditional model (guidance 1.0 = plain conditional)
-        applyp = make_eps_fn_p(s_model, "per_sample")
+        applyp = make_eps_fn_p(s_model, "per_sample", schedule=schedule)
         extra = dict(guidance_scale=args.guidance,
                      null_label=s_model.null_label)
 
         def _eps(p):
             return lambda x, t, y: applyp(p, x, t, y)
     else:
-        applyp = make_eps_fn_p(s_model)
+        applyp = make_eps_fn_p(s_model, schedule=schedule)
         extra = {}
 
         def _eps(p):
             return lambda x, t: applyp(p, x, t)
 
     if args.method == "ddim":
+        spacing = (args.spacing if args.spacing != "auto"
+                   else getattr(cfg.sampling, "t_spacing", "leading"))
+
         def _sample(r, p, y):
             kw = dict(extra, y=y) if conditional else extra
             return ddim_sample(schedule, _eps(p), shape, r,
-                               num_steps=args.num_steps, **kw)
+                               num_steps=args.num_steps,
+                               t_spacing=spacing, **kw)
     elif args.method == "dpmpp":
         def _sample(r, p, y):
             kw = dict(extra, y=y) if conditional else extra
@@ -182,8 +191,8 @@ def main(argv=None) -> int:
         # densities, independent of the FID section's conditioning — the
         # conditional applyp above binds per-sample labels and must not
         # be reused here.
-        apply1 = make_eps_fn_p(s_model)
-        apply2 = make_eps_fn_p(s_model2)
+        apply1 = make_eps_fn_p(s_model, schedule=schedule)
+        apply2 = make_eps_fn_p(s_model2, schedule=schedule)
 
         def _superposed(r, p1, p2):
             fns = [lambda x, t: apply1(p1, x, t),

@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-steps", type=int, default=None,
                    help="solver steps: DDIM default 50, dpmpp default 20 "
                         "(ignored by ddpm, which always runs the full T)")
+    p.add_argument("--spacing", choices=["auto", "leading", "trailing"],
+                   default="auto",
+                   help="DDIM grid spacing; auto reads the run config's "
+                        "sampling.t_spacing (distilled students need "
+                        "trailing)")
     p.add_argument("--eta", type=float, default=0.0,
                    help="DDIM stochasticity (0 = deterministic); "
                         "rejected with --method dpmpp (pure ODE solver)")
@@ -130,8 +135,8 @@ def main(argv=None) -> int:
         # — batching the *weights* turns every conv into an M-kernel
         # batched conv, which XLA lowers worse than two plain convs.
         # stack_eps_fns remains available for architectures where it wins.
-        apply1 = make_eps_fn_p(model, args.label)
-        apply2 = make_eps_fn_p(model2, args.label)
+        apply1 = make_eps_fn_p(model, args.label, schedule=schedule)
+        apply2 = make_eps_fn_p(model2, args.label, schedule=schedule)
 
         def _superposed(r, p1, p2):
             fns = [lambda x, t: apply1(p1, x, t),
@@ -147,20 +152,23 @@ def main(argv=None) -> int:
     else:
         if cfg.model.conditional and args.label is not None:
             y = jnp.full((B,), args.label, dtype=jnp.int32)
-            applyp = make_eps_fn_p(model, "per_sample")
+            applyp = make_eps_fn_p(model, "per_sample", schedule=schedule)
             extra = dict(y=y, guidance_scale=args.guidance,
                          null_label=model.null_label)
         else:
-            applyp = make_eps_fn_p(model, args.label)
+            applyp = make_eps_fn_p(model, args.label, schedule=schedule)
             extra = {}
 
         if args.method == "ddim":
             steps = args.num_steps or 50
+            spacing = (args.spacing if args.spacing != "auto"
+                       else getattr(cfg.sampling, "t_spacing", "leading"))
 
             def _single(r, p):
                 fn = lambda *a: applyp(p, *a)
                 return ddim_sample(schedule, fn, shape, r,
-                                   num_steps=steps, eta=args.eta, **extra)
+                                   num_steps=steps, eta=args.eta,
+                                   t_spacing=spacing, **extra)
         elif args.method == "dpmpp":
             if args.eta:
                 raise SystemExit(

@@ -130,6 +130,12 @@ class ModelConfig:
     # (BASELINE.md); None keeps the preset's value.
     num_res_blocks: Optional[Tuple[int, ...]] = None
     dropout: float = 0.0
+    # What the network head predicts: eps (reference semantics,
+    # src/models/ddpm.py:20-24), v (Salimans & Ho 2022, arXiv:2202.00512 —
+    # stays well-conditioned at few sampler steps; required teacher form
+    # for progressive distillation), or x0. Samplers consume eps; non-eps
+    # heads are converted per call (diffusion.process.eps_from_pred).
+    parameterization: str = "eps"       # eps|v|x0
 
 
 @dataclass
@@ -142,6 +148,13 @@ class SamplingConfig:
     num_batches: int = 1
     clip_x0: bool = True
     label: Optional[int] = None         # None -> unconditional/null
+    # DDIM grid spacing: "leading" (t_0 = T - T//steps, the classic grid)
+    # or "trailing" (t_0 = T-1 — required for progressively distilled
+    # students, whose phases train on trailing grids; see
+    # diffusion/samplers.trailing_timesteps). cli/distill.py stamps
+    # "trailing" into each student's exported config; the sample/evaluate
+    # CLIs honor it via --spacing auto.
+    t_spacing: str = "leading"          # leading|trailing
 
 
 @dataclass

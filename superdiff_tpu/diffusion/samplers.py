@@ -179,6 +179,24 @@ def ddim_timesteps(T: int, num_steps: int) -> np.ndarray:
     return ts[::-1].copy()
 
 
+def trailing_timesteps(T: int, num_steps: int) -> np.ndarray:
+    """Descending sampler grid with node_0 = T-1 exactly:
+    ``t_k = (k+1) * T // num_steps - 1``.
+
+    The leading grid (:func:`ddim_timesteps`) starts at ``T - T//num_steps``
+    — fine at 50+ steps, but at 1-4 steps the ``x ~ N(0, I)`` init is then
+    badly mismatched with ``alpha_bar[t_0]`` (a 1-step leading grid would
+    "start" at t=0). Trailing grids start at the highest timestep, and
+    halving grids nest exactly (``trailing(T, N) == trailing(T, 2N)[::2]``)
+    — the property progressive distillation's phases rely on
+    (``diffusion/distill.py``, arXiv:2202.00512).
+    """
+    if not 1 <= num_steps <= T:
+        raise ValueError(f"num_steps must be in [1, {T}], got {num_steps}")
+    k = np.arange(num_steps, 0, -1, dtype=np.int64)
+    return (k * T // num_steps - 1).astype(np.int64)
+
+
 def ddim_sample(schedule: DiffusionSchedule,
                 model_fn: ModelFn,
                 shape: Tuple[int, ...],
@@ -190,6 +208,7 @@ def ddim_sample(schedule: DiffusionSchedule,
                 null_label: int = 0,
                 clip_x0: bool = True,
                 num_frames: int = 0,
+                t_spacing: str = "leading",
                 dtype=jnp.float32) -> jnp.ndarray:
     """DDIM sampling (arXiv:2010.02502 eq. 12) over ``num_steps`` steps.
 
@@ -204,8 +223,18 @@ def ddim_sample(schedule: DiffusionSchedule,
     ``num_frames > 0`` additionally returns evenly spaced intermediate
     states (same contract as :func:`ddpm_sample`) so reverse strips and
     compare panels work on the fast sampling path too.
+
+    ``t_spacing="trailing"`` starts the grid at t = T-1 exactly
+    (:func:`trailing_timesteps`) — REQUIRED when sampling progressively
+    distilled students (their phases train on trailing grids), and the
+    better-conditioned choice for any run under ~8 steps.
     """
-    ts_np = ddim_timesteps(schedule.num_timesteps, num_steps)
+    if t_spacing == "leading":
+        ts_np = ddim_timesteps(schedule.num_timesteps, num_steps)
+    elif t_spacing == "trailing":
+        ts_np = trailing_timesteps(schedule.num_timesteps, num_steps)
+    else:
+        raise ValueError(f"unknown t_spacing: {t_spacing!r}")
     ts = jnp.asarray(ts_np, dtype=jnp.int32)
     # alpha_bar of the *next* (less noisy) step in the subsequence; 1.0 at end.
     ab_next_np = np.concatenate([

@@ -171,7 +171,8 @@ def same_architecture(cfg: Config, cfg2: Config) -> bool:
     return dataclasses.asdict(cfg.model) == dataclasses.asdict(cfg2.model)
 
 
-def make_eps_fn_p(model, label: Optional[int] = None) -> Callable:
+def make_eps_fn_p(model, label: Optional[int] = None,
+                  schedule: Optional[DiffusionSchedule] = None) -> Callable:
     """Sampler-facing eps function with params as the FIRST argument:
     ``fn(params, x, t)`` (or ``fn(params, x, t, y)`` for
     ``label="per_sample"``).
@@ -181,17 +182,35 @@ def make_eps_fn_p(model, label: Optional[int] = None) -> Callable:
     lowered module, and on a remote-compile backend a two-model 256² UNet
     pair (~300 MB of constants) exceeds the compile-request size limit
     (HTTP 413). Label semantics as :func:`make_eps_fn`.
+
+    Models whose head predicts v or x0 (``model.parameterization``,
+    arXiv:2202.00512) are converted to the eps the samplers consume with
+    one fused multiply-add per call — ``schedule`` is required for those
+    (it carries the alpha_bar table the conversion reads).
     """
+    kind = getattr(model, "parameterization", "eps")
+    if kind != "eps" and schedule is None:
+        raise ValueError(
+            f"model predicts {kind!r}; pass schedule= to make_eps_fn_p so "
+            "the prediction can be converted to eps for the samplers")
+
+    def _apply(p, x, t, *cond):
+        pred = model.apply(p, x, t, *cond)
+        if kind == "eps":
+            return pred
+        from superdiff_tpu.diffusion.process import eps_from_pred
+        return eps_from_pred(schedule, x, t, pred, kind)
+
     conditional = getattr(model, "num_classes", 0) > 0
     if not conditional:
-        return lambda p, x, t: model.apply(p, x, t)
+        return _apply
     if label == "per_sample":
-        return lambda p, x, t, y: model.apply(p, x, t, y)
+        return _apply
     fixed = model.null_label if label is None else int(label)
 
     def fn(p, x, t):
         y = jnp.full((x.shape[0],), fixed, dtype=jnp.int32)
-        return model.apply(p, x, t, y)
+        return _apply(p, x, t, y)
 
     return fn
 

@@ -145,6 +145,9 @@ def model_from_config(cfg) -> CondUNet:
                          f"one of {sorted(dtypes)}")
     if nd != "float32":
         overrides["norm_dtype"] = dtypes[nd]
+    pz = getattr(cfg.model, "parameterization", "eps")
+    if pz != "eps":
+        overrides["parameterization"] = pz
     return build_model(
         cfg.model.preset,
         num_classes=cfg.model.num_classes if cfg.model.conditional else 0,

@@ -79,6 +79,12 @@ class CondUNet(nn.Module):
                                          # halve norm-pass HBM traffic (stats
                                          # still reduce in f32); params stay
                                          # f32 so checkpoints are unchanged
+    parameterization: str = "eps"  # what the head predicts: eps|v|x0.
+                                   # Metadata only — the graph (and thus
+                                   # every checkpoint) is identical across
+                                   # the three; consumers convert via
+                                   # diffusion.process.eps_from_pred
+                                   # (arXiv:2202.00512 §2.4 for v)
 
     @property
     def null_label(self) -> int:
@@ -104,6 +110,9 @@ class CondUNet(nn.Module):
         """
         if stage not in ("all", "down", "up"):
             raise ValueError(f"stage must be all/down/up, got {stage!r}")
+        if self.parameterization not in ("eps", "v", "x0"):
+            raise ValueError("parameterization must be eps/v/x0, got "
+                             f"{self.parameterization!r}")
         cd = self.compute_dtype
         p = self.pixel_shuffle
 

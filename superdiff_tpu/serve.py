@@ -358,8 +358,8 @@ class SamplerService:
             from superdiff_tpu.diffusion.superdiff import superdiff_sample
 
             lab = "per_sample" if self._conditional else None
-            a1 = make_eps_fn_p(self._model, lab)
-            a2 = make_eps_fn_p(self._model2, lab)
+            a1 = make_eps_fn_p(self._model, lab, schedule=schedule)
+            a2 = make_eps_fn_p(self._model2, lab, schedule=schedule)
 
             def sd_sampler(rng, p1, p2, y):
                 if self._conditional:
@@ -381,7 +381,8 @@ class SamplerService:
                 self.stats["compiles"] += 1
             return fn
         if self._conditional:
-            applyp = make_eps_fn_p(self._model, "per_sample")
+            applyp = make_eps_fn_p(self._model, "per_sample",
+                                   schedule=schedule)
 
             def build(p, y):
                 extra = dict(y=y, guidance_scale=spec.guidance,
@@ -389,7 +390,7 @@ class SamplerService:
                 eps = lambda *a: applyp(p, *a)
                 return eps, extra
         else:
-            applyp = make_eps_fn_p(self._model)
+            applyp = make_eps_fn_p(self._model, schedule=schedule)
 
             def build(p, y):
                 return (lambda *a: applyp(p, *a)), {}

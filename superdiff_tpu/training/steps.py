@@ -32,6 +32,7 @@ def make_train_step(schedule: DiffusionSchedule,
                     loss_type: str = "mse",
                     weighting: str = "none",
                     min_snr_gamma: float = 5.0,
+                    parameterization: str = "eps",
                     augmentation: str = "none",
                     normalization: str = "tanh",
                     state_shardings=None) -> Callable:
@@ -80,10 +81,12 @@ def make_train_step(schedule: DiffusionSchedule,
             model_fn = lambda xt, t, yy: state.apply_fn(params, xt, t, yy)
             return loss_fn_impl(schedule, model_fn, x, rng, y=y,
                                 loss_type=loss_type, weighting=weighting,
-                                min_snr_gamma=min_snr_gamma)
+                                min_snr_gamma=min_snr_gamma,
+                                parameterization=parameterization)
         model_fn = lambda xt, t: state.apply_fn(params, xt, t)
         return loss_fn_impl(schedule, model_fn, x, rng, loss_type=loss_type,
-                            weighting=weighting, min_snr_gamma=min_snr_gamma)
+                            weighting=weighting, min_snr_gamma=min_snr_gamma,
+                            parameterization=parameterization)
 
     def step_fn(state: TrainState, batch) -> tuple:
         rng, step_rng = jax.random.split(state.rng)
@@ -131,6 +134,7 @@ def make_eval_step(schedule: DiffusionSchedule,
                    loss_type: str = "mse",
                    weighting: str = "none",
                    min_snr_gamma: float = 5.0,
+                   parameterization: str = "eps",
                    normalization: str = "tanh") -> Callable:
     """Validation loss on EMA params (no grads, fixed fold-in RNG).
 
@@ -152,10 +156,12 @@ def make_eval_step(schedule: DiffusionSchedule,
             return loss_fn_impl(schedule, model_fn, x, rng,
                                 y=batch["label"], loss_type=loss_type,
                                 weighting=weighting,
-                                min_snr_gamma=min_snr_gamma)
+                                min_snr_gamma=min_snr_gamma,
+                                parameterization=parameterization)
         model_fn = lambda xt, t: state.apply_fn(state.ema_params, xt, t)
         return loss_fn_impl(schedule, model_fn, x, rng, loss_type=loss_type,
-                            weighting=weighting, min_snr_gamma=min_snr_gamma)
+                            weighting=weighting, min_snr_gamma=min_snr_gamma,
+                            parameterization=parameterization)
 
     if mesh is None or mesh.devices.size == 1:
         return jax.jit(eval_fn)

@@ -98,7 +98,8 @@ def main(argv=None) -> int:
         model, schedule, ema, resolution=cfg.training.resolution,
         conditional=cfg.model.conditional, batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms, mesh=mesh,
-        params2=ema2, model2=model2)
+        params2=ema2, model2=model2,
+        t_spacing=getattr(cfg.sampling, "t_spacing", "leading"))
 
     steps = args.steps or (10 if args.method == "dpmpp" else 50)
     spec = SampleSpec(method=args.method, steps=steps, mode=args.mode)

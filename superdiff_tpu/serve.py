@@ -126,9 +126,19 @@ class SamplerService:
     def __init__(self, model, schedule, params, resolution: int,
                  conditional: bool, batch_size: int = 16,
                  max_wait_ms: float = 20.0, autostart: bool = True,
-                 mesh=None, params2=None, model2=None):
+                 mesh=None, params2=None, model2=None,
+                 t_spacing: str = "leading"):
         import jax
 
+        if t_spacing not in ("leading", "trailing"):
+            raise ValueError(f"t_spacing must be leading/trailing, got "
+                             f"{t_spacing!r}")
+        # run-level grid policy, not a request knob: a progressively
+        # distilled student is only trained at its trailing grid nodes
+        # (cli/distill.py stamps sampling.t_spacing='trailing' into its
+        # exported config) — serving it on the leading grid would sample
+        # off-manifold
+        self._t_spacing = t_spacing
         self._model = model
         self._schedule = schedule
         self._resolution = int(resolution)
@@ -400,7 +410,7 @@ class SamplerService:
             if spec.method == "ddim":
                 return ddim_sample(schedule, eps, shape, rng,
                                    num_steps=spec.steps, eta=spec.eta,
-                                   **extra)
+                                   t_spacing=self._t_spacing, **extra)
             if spec.method == "dpmpp":
                 return dpmpp_sample(schedule, eps, shape, rng,
                                     num_steps=spec.steps, **extra)
@@ -500,6 +510,7 @@ def make_http_server(service: SamplerService, host: str = "127.0.0.1",
                 self._json(200, {
                     "resolution": service.resolution,
                     "batch_size": service.batch_size,
+                    "t_spacing": service._t_spacing,
                     "methods": methods,
                     "superdiff_modes": list(_SD_MODES) if superposed else [],
                     "conditional": service._conditional, **info})

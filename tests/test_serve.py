@@ -286,3 +286,26 @@ def test_superdiff_http(sd_service):
         assert all(np.isfinite(v) for row in resp["logq"] for v in row)
     finally:
         httpd.shutdown()
+
+
+def test_trailing_spacing_service():
+    """A service built with t_spacing='trailing' (what a distilled
+    student's config stamps) samples on the trailing grid — a 1-step DDIM
+    spec is then exactly one model call at t = T-1 — and bad spacings are
+    rejected at construction."""
+    model, params = _model_params()
+    svc = SamplerService(model, make_schedule(20), params, resolution=RES,
+                         conditional=True, batch_size=B, max_wait_ms=5.0,
+                         autostart=False, t_spacing="trailing")
+    try:
+        req = svc.submit(2, spec=SampleSpec(method="ddim", steps=1))
+        svc.step_once()
+        assert req.done.is_set()
+        assert req.result.shape == (2, RES, RES, 1)
+        assert np.isfinite(req.result).all()
+    finally:
+        svc.close()
+    with pytest.raises(ValueError, match="t_spacing"):
+        SamplerService(model, make_schedule(20), params, resolution=RES,
+                       conditional=True, batch_size=B, autostart=False,
+                       t_spacing="sideways")

@@ -145,8 +145,11 @@ def main(argv=None) -> int:
     for phase_idx, N in enumerate(steps_list):
         phase_tic = time.time()
         total_steps = steps_per_epoch * args.phase_epochs
+        # short smoke phases: keep warmup strictly inside the phase so the
+        # cosine decay always has positive length
+        warmup = min(args.warmup_steps, total_steps // 2)
         tx = make_optimizer(learning_rate=args.lr,
-                            warmup_steps=args.warmup_steps,
+                            warmup_steps=warmup,
                             total_steps=total_steps, schedule="cosine")
         x0 = jnp.zeros((B, t.resolution, t.resolution, 1))
         t0 = jnp.zeros((B,), dtype=jnp.int32)

@@ -218,3 +218,57 @@ def test_distill_step_learns_constant_teacher():
     assert losses[-1] < losses[0] * 0.01, (losses[0], losses[-1])
     b = float(jax.tree_util.tree_leaves(state.params)[0])
     assert abs(b - c) < 0.05, b
+
+
+def test_distill_cli_end_to_end(tmp_path):
+    """CLI round trip on synthetic data: train a tiny eps run, distill it
+    to a 2-step then 1-step v-student, and confirm each exported student
+    (a) loads through load_run with the v-parameterization and trailing
+    sampling defaults stamped in, (b) samples finitely on its own grid
+    through the sample CLI."""
+    import os
+
+    from superdiff_tpu.cli.distill import main as distill_main
+    from superdiff_tpu.cli.sample import main as sample_main
+    from superdiff_tpu.config import Config
+    from superdiff_tpu.inference import load_run
+    from superdiff_tpu.training.loop import train
+
+    cfg = Config()
+    cfg.experiment_id, cfg.run_id = "d", "0"
+    cfg.paths.local_base = str(tmp_path)
+    cfg.training.batch_size = 8
+    cfg.training.resolution = 16
+    cfg.training.num_epochs = 1
+    cfg.training.num_timesteps = 50
+    cfg.training.steps_per_epoch = 2
+    cfg.training.vis_every = 100
+    cfg.training.eval_every = 0
+    cfg.model.base_channels = 8
+    train(cfg, use_synthetic=True)
+    run = os.path.join(str(tmp_path), "outputs", "PNEUMONIA",
+                       "experiment_d_run_0")
+
+    rc = distill_main(["--run-dir", run, "--synthetic",
+                       "--steps", "2,1", "--phase-epochs", "2",
+                       "--batch-size", "8"])
+    assert rc == 0
+
+    for n in (2, 1):
+        sdir = os.path.join(run, "distill", f"s{n}")
+        cfg_s, model_s, schedule_s, ema_s = load_run(sdir)
+        assert model_s.parameterization == "v"
+        assert cfg_s.sampling.t_spacing == "trailing"
+        assert cfg_s.sampling.num_steps == n
+        out = os.path.join(str(tmp_path), f"samples_s{n}")
+        rc = sample_main(["--run-dir", sdir, "--method", "ddim",
+                          "--num-steps", str(n), "--batch-size", "4",
+                          "--out", out])
+        assert rc == 0
+        x = np.load(os.path.join(out, "samples.npy"))
+        assert x.shape == (4, 16, 16, 1) and np.isfinite(x).all()
+
+    # mis-nested phase lists are rejected before any compute
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        distill_main(["--run-dir", run, "--synthetic", "--steps", "8,2"])

@@ -113,7 +113,13 @@ def build_model(preset: str = "small64",
                 **overrides) -> CondUNet:
     """Build a flagship CondUNet from a named preset (+ field overrides)."""
     if preset == "ref":
-        return RefUNet()
+        # the parity model takes only its own graph fields (conditioning /
+        # dtype-policy knobs don't exist on the reference graph); imported
+        # reference checkpoints may override base_channels etc.
+        ref_fields = {k: v for k, v in overrides.items()
+                      if k in ("in_channels", "out_channels",
+                               "time_emb_dim", "base_channels")}
+        return RefUNet(**ref_fields)
     if preset not in _PRESETS:
         raise ValueError(
             f"unknown preset {preset!r} (have {['ref'] + sorted(_PRESETS)})")

@@ -1,0 +1,142 @@
+"""Reference-checkpoint import: torch state_dict -> RefUNet -> samplers.
+
+The migration path for users arriving with the reference's trained
+``ddpm_epochN.pt`` / ``ema_epochN.pt`` artifacts (which the reference
+itself never loads — SURVEY.md §5.4). Parity is pinned against a real
+torch module with the reference's exact state_dict key layout
+(``src/models/unet.py:18-65``), the same oracle style as
+``tests/test_models.py``.
+"""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from superdiff_tpu.compat import (import_checkpoint, infer_ref_arch,
+                                  ref_params_from_state_dict)
+from superdiff_tpu.compat.torch_import import normalize_state_dict
+from superdiff_tpu.models.unet_ref import RefUNet
+
+
+def _torch_ref_unet(base_channels=8, time_emb_dim=256):
+    """An independent torch build of the reference UNet graph, with the
+    reference's state_dict key layout (downs.N.block.M / mid / ups.N /
+    time_mlp.{1,3})."""
+    import torch.nn as nn
+
+    def block(in_ch, out_ch):
+        m = nn.Module()
+        m.block = nn.Sequential(
+            nn.GroupNorm(min(4, in_ch), in_ch), nn.SiLU(),
+            nn.Conv2d(in_ch, out_ch, 3, padding=1),
+            nn.GroupNorm(min(4, out_ch), out_ch), nn.SiLU(),
+            nn.Conv2d(out_ch, out_ch, 3, padding=1))
+        m.time_emb = nn.Linear(time_emb_dim, out_ch)
+        return m
+
+    net = nn.Module()
+    # index 0 is the (param-less) sinusoidal embed slot, keeping the
+    # Linear layers at state_dict keys time_mlp.1 / time_mlp.3
+    net.time_mlp = nn.Sequential(
+        nn.Identity(), nn.Linear(time_emb_dim, time_emb_dim * 4),
+        nn.SiLU(), nn.Linear(time_emb_dim * 4, time_emb_dim))
+    bc = base_channels
+    net.downs = nn.ModuleList([block(1, bc), block(bc, bc * 2)])
+    net.mid = block(bc * 2, bc * 2)
+    net.ups = nn.ModuleList([block(bc * 2, bc), block(bc, 1)])
+
+    half = time_emb_dim // 2
+    freqs = torch.exp(torch.arange(half, dtype=torch.float32)
+                      * -(math.log(10000.0) / (half - 1)))
+
+    def forward(x, t):
+        args = t.to(torch.float32)[:, None] * freqs[None, :]
+        emb = torch.cat([torch.sin(args), torch.cos(args)], dim=-1)
+        t_emb = net.time_mlp(emb)
+        h = x
+        for m in list(net.downs) + [net.mid] + list(net.ups):
+            h = m.block(h) + m.time_emb(t_emb)[:, :, None, None]
+        return h
+
+    net.fwd = forward
+    return net
+
+
+def test_import_forward_parity():
+    """Imported params must reproduce the torch forward at fp32."""
+    torch.manual_seed(0)
+    net = _torch_ref_unet(base_channels=8)
+    sd = net.state_dict()
+
+    arch = infer_ref_arch(normalize_state_dict(sd))
+    assert arch == dict(time_emb_dim=256, base_channels=8,
+                        in_channels=1, out_channels=1)
+
+    params = ref_params_from_state_dict(sd)
+    model = RefUNet(base_channels=8)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 16, 16, 1)).astype(np.float32)
+    t = np.asarray([3, 17], dtype=np.int64)
+
+    with torch.no_grad():
+        want = net.fwd(torch.tensor(x).permute(0, 3, 1, 2),
+                       torch.tensor(t)).permute(0, 2, 3, 1).numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(x),
+                                 jnp.asarray(t, dtype=jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_import_cli_round_trip(tmp_path):
+    """.pt -> import CLI -> load_run -> sample CLI, end to end."""
+    from superdiff_tpu.cli.import_torch import main as import_main
+    from superdiff_tpu.cli.sample import main as sample_main
+    from superdiff_tpu.inference import load_run
+
+    torch.manual_seed(2)
+    net = _torch_ref_unet(base_channels=8)
+    pt = os.path.join(str(tmp_path), "ema_epoch3.pt")
+    torch.save(net.state_dict(), pt)
+
+    out = os.path.join(str(tmp_path), "imported")
+    rc = import_main(["--checkpoint", pt, "--out", out,
+                      "--resolution", "16", "--num-timesteps", "20"])
+    assert rc == 0
+
+    cfg, model, schedule, ema = load_run(out)
+    assert cfg.model.preset == "ref" and not cfg.model.conditional
+    assert schedule.num_timesteps == 20
+    assert isinstance(model, RefUNet) and model.base_channels == 8
+
+    sdir = os.path.join(str(tmp_path), "samples")
+    rc = sample_main(["--run-dir", out, "--method", "ddim",
+                      "--num-steps", "4", "--batch-size", "2",
+                      "--out", sdir])
+    assert rc == 0
+    x = np.load(os.path.join(sdir, "samples.npy"))
+    assert x.shape == (2, 16, 16, 1) and np.isfinite(x).all()
+
+
+def test_import_rejects_garbage_and_strips_prefixes(tmp_path):
+    # wrapper prefixes (DataParallel / whole-EMA-object saves) are stripped
+    net = _torch_ref_unet(base_channels=8)
+    wrapped = {f"ema_model.{k}": v for k, v in net.state_dict().items()}
+    wrapped["initted"] = torch.tensor(True)
+    wrapped["step"] = torch.tensor(100)
+    params = ref_params_from_state_dict(wrapped)
+    assert "time_mlp" in params["params"]
+
+    # a non-reference state dict fails with a key-layout error, and a
+    # non-dict .pt fails before any mapping
+    with pytest.raises(ValueError, match="reference-UNet key"):
+        ref_params_from_state_dict({"foo.weight": np.zeros((2, 2))})
+    bad = os.path.join(str(tmp_path), "bad.pt")
+    torch.save(torch.zeros(3), bad)
+    with pytest.raises(ValueError, match="state_dict"):
+        import_checkpoint(bad, os.path.join(str(tmp_path), "o"))

@@ -27,19 +27,20 @@ def log(msg):
 
 def main():
     import jax
-    from superdiff_tpu.diffusion import make_schedule, ddim_sample
+    from superdiff_tpu.diffusion import ddim_sample
     from superdiff_tpu.inference import (load_run, apply_sampling_policy,
                                          make_eps_fn_p)
 
     run_dir = os.environ["RUN_DIR"]
-    cfg, model, _, params = load_run(run_dir)
+    # keep the run's own schedule (kind + beta range): the v->eps
+    # conversion and the DDIM grid must use the table it trained under
+    cfg, model, schedule, params = load_run(run_dir)
     model, params = apply_sampling_policy(model, params)
     log(f"backend: {jax.default_backend()} run: {run_dir} "
         f"param={getattr(model, 'parameterization', 'eps')}")
 
     res = cfg.training.resolution
     shape = (BATCH, res, res, 1)
-    schedule = make_schedule(cfg.training.num_timesteps)
     fn_p = make_eps_fn_p(model, schedule=schedule)
 
     for steps in STEPS:

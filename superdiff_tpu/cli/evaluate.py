@@ -32,8 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-samples", type=int, default=64)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--method", choices=["ddpm", "ddim", "dpmpp"],
-                   default="ddim")
-    p.add_argument("--num-steps", type=int, default=100)
+                   default=None,
+                   help="default: the run config's sampling.method when it "
+                        "names a fast sampler (distilled students stamp "
+                        "ddim + their step count), else the ddim-100 FID "
+                        "protocol")
+    p.add_argument("--num-steps", type=int, default=None)
     p.add_argument("--spacing", choices=["auto", "leading", "trailing"],
                    default="auto",
                    help="DDIM grid spacing; auto reads the run config's "
@@ -122,20 +126,36 @@ def main(argv=None) -> int:
         def _eps(p):
             return lambda x, t: applyp(p, x, t)
 
-    if args.method == "ddim":
+    # --method omitted: a run whose config stamps a fast sampler (distilled
+    # students: ddim + their trained step count) is evaluated on its own
+    # grid; plain runs keep the ddim-100 FID protocol default
+    method = args.method
+    num_steps = args.num_steps
+    if method is None:
+        stamped = getattr(cfg.sampling, "method", "ddpm")
+        if stamped in ("ddim", "dpmpp"):
+            method = stamped
+            if num_steps is None:
+                num_steps = getattr(cfg.sampling, "num_steps", None)
+        else:
+            method = "ddim"
+    if num_steps is None:
+        num_steps = 100
+
+    if method == "ddim":
         spacing = (args.spacing if args.spacing != "auto"
                    else getattr(cfg.sampling, "t_spacing", "leading"))
 
         def _sample(r, p, y):
             kw = dict(extra, y=y) if conditional else extra
             return ddim_sample(schedule, _eps(p), shape, r,
-                               num_steps=args.num_steps,
+                               num_steps=num_steps,
                                t_spacing=spacing, **kw)
-    elif args.method == "dpmpp":
+    elif method == "dpmpp":
         def _sample(r, p, y):
             kw = dict(extra, y=y) if conditional else extra
             return dpmpp_sample(schedule, _eps(p), shape, r,
-                                num_steps=args.num_steps, **kw)
+                                num_steps=num_steps, **kw)
     else:
         def _sample(r, p, y):
             kw = dict(extra, y=y) if conditional else extra
@@ -154,6 +174,9 @@ def main(argv=None) -> int:
     results["sample_std"] = float(gen.std())
     results["labels"] = labels_mode if cfg.model.conditional else "uncond"
     results["guidance"] = float(args.guidance)
+    results["sampler"] = method
+    if method != "ddpm":
+        results["sampler_steps"] = int(num_steps)
 
     # --- FID vs test split ---
     if args.dataset_root:

@@ -38,10 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="load the best-validation checkpoint "
                         "(<checkpoint_dir>_best) instead of the latest")
     p.add_argument("--method", choices=["ddpm", "ddim", "dpmpp"],
-                   default="ddpm")
+                   default=None,
+                   help="default: the run config's sampling.method "
+                        "(distilled students stamp ddim; plain runs ddpm)")
     p.add_argument("--num-steps", type=int, default=None,
-                   help="solver steps: DDIM default 50, dpmpp default 20 "
-                        "(ignored by ddpm, which always runs the full T)")
+                   help="solver steps: default the run config's "
+                        "sampling.num_steps when --method is omitted, else "
+                        "DDIM 50 / dpmpp 20 (ignored by ddpm, which always "
+                        "runs the full T)")
     p.add_argument("--spacing", choices=["auto", "leading", "trailing"],
                    default="auto",
                    help="DDIM grid spacing; auto reads the run config's "
@@ -150,6 +154,17 @@ def main(argv=None) -> int:
         ema, ema2 = replicate(ema), replicate(ema2)
         sample_fn = lambda r: jitted(r, ema, ema2)
     else:
+        # --method omitted: follow the run config (cli/distill.py stamps
+        # method=ddim + num_steps=N + t_spacing=trailing into each student
+        # so default invocations sample on the grid the student trained on)
+        method = args.method
+        num_steps = args.num_steps
+        if method is None:
+            stamped = getattr(cfg.sampling, "method", "ddpm")
+            method = stamped if stamped in ("ddpm", "ddim", "dpmpp") \
+                else "ddpm"
+            if num_steps is None and method != "ddpm":
+                num_steps = getattr(cfg.sampling, "num_steps", None)
         if cfg.model.conditional and args.label is not None:
             y = jnp.full((B,), args.label, dtype=jnp.int32)
             applyp = make_eps_fn_p(model, "per_sample", schedule=schedule)
@@ -159,8 +174,8 @@ def main(argv=None) -> int:
             applyp = make_eps_fn_p(model, args.label, schedule=schedule)
             extra = {}
 
-        if args.method == "ddim":
-            steps = args.num_steps or 50
+        if method == "ddim":
+            steps = num_steps or 50
             spacing = (args.spacing if args.spacing != "auto"
                        else getattr(cfg.sampling, "t_spacing", "leading"))
 
@@ -169,12 +184,12 @@ def main(argv=None) -> int:
                 return ddim_sample(schedule, fn, shape, r,
                                    num_steps=steps, eta=args.eta,
                                    t_spacing=spacing, **extra)
-        elif args.method == "dpmpp":
+        elif method == "dpmpp":
             if args.eta:
                 raise SystemExit(
                     "--eta only applies to --method ddim; DPM-Solver++ is "
                     "a deterministic ODE solver (no stochasticity knob)")
-            steps = args.num_steps or 20
+            steps = num_steps or 20
 
             def _single(r, p):
                 fn = lambda *a: applyp(p, *a)

@@ -43,7 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="coalescing window before a partial batch launches")
     p.add_argument("--method",
                    choices=["ddpm", "ddim", "dpmpp", "superdiff"],
-                   default="ddim", help="spec warmed at startup")
+                   default=None,
+                   help="spec warmed at startup (default: the run config's "
+                        "sampling.method when it names a fast sampler — "
+                        "distilled students stamp ddim + their trained "
+                        "step count — else ddim)")
     p.add_argument("--mode", choices=["or", "and"], default="or",
                    help="superdiff mixing mode for the warmed spec")
     p.add_argument("--steps", type=int, default=None)
@@ -101,8 +105,20 @@ def main(argv=None) -> int:
         params2=ema2, model2=model2,
         t_spacing=getattr(cfg.sampling, "t_spacing", "leading"))
 
-    steps = args.steps or (10 if args.method == "dpmpp" else 50)
-    spec = SampleSpec(method=args.method, steps=steps, mode=args.mode)
+    # --method omitted: warm a distilled student on the exact spec it
+    # trained for (cli/distill.py stamps method + num_steps); otherwise
+    # keep the ddim-50 default
+    method, steps = args.method, args.steps
+    if method is None:
+        stamped = getattr(cfg.sampling, "method", "ddpm")
+        if stamped in ("ddim", "dpmpp"):
+            method = stamped
+            if steps is None:
+                steps = getattr(cfg.sampling, "num_steps", None)
+        else:
+            method = "ddim"
+    steps = steps or (10 if method == "dpmpp" else 50)
+    spec = SampleSpec(method=method, steps=steps, mode=args.mode)
     print(f"warming {spec} at batch {args.batch_size} ...", flush=True)
     sec = service.warmup(spec)
     print(f"warm ({sec:.1f}s). serving on http://{args.host}:{args.port}",

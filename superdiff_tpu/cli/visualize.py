@@ -63,7 +63,7 @@ def main(argv=None) -> int:
     # sampling under the production dtype policy; the feature-extraction
     # path below keeps the original f32 model/params (comparable features)
     s_model, s_ema = apply_sampling_policy(model, ema)
-    fn = make_eps_fn(s_model, s_ema)
+    fn = make_eps_fn(s_model, s_ema, schedule=schedule)
     rng = jax.random.PRNGKey(args.seed)
     shape = (args.num_samples, R, R, 1)
 

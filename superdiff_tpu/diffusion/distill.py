@@ -76,10 +76,19 @@ def phase_tables(schedule: DiffusionSchedule, num_student_steps: int):
     }
 
 
-def _ddim_to(x, a_from, s_from, a_to, s_to, eps):
+def _ddim_to(x, a_from, s_from, a_to, s_to, eps, clip_x0=True):
     """One deterministic DDIM (eta=0) transition given the eps prediction:
-    ``x0 = (x - s_f eps) / a_f``; ``x' = a_to x0 + s_to eps``."""
+    ``x0 = (x - s_f eps) / a_f``; ``x' = a_to x0 + s_to eps``.
+
+    ``clip_x0`` mirrors :func:`~superdiff_tpu.diffusion.samplers.ddim_sample`
+    (clamp the x0 estimate to [-1, 1] and re-derive a consistent eps) so the
+    teacher trajectory being distilled IS the trajectory the teacher's own
+    sampler produces — without it, the distillation target and the "teacher
+    baseline" FID row are two different teachers at the high-noise nodes."""
     x0 = (x - s_from * eps) / a_from
+    if clip_x0:
+        x0 = jnp.clip(x0, -1.0, 1.0)
+        eps = (x - a_from * x0) / jnp.maximum(s_from, 1e-12)
     return a_to * x0 + s_to * eps
 
 
@@ -107,7 +116,8 @@ def make_distill_step(schedule: DiffusionSchedule,
                       parameterization: str = "v",
                       null_prob: float = 0.0,
                       null_label: int = 0,
-                      normalization: str = "tanh") -> Callable:
+                      normalization: str = "tanh",
+                      clip_x0: bool = True) -> Callable:
     """Build the jitted distillation step for one phase.
 
     ``teacher_eps_fn(teacher_params, x, t[, y]) -> eps`` is the frozen
@@ -127,6 +137,11 @@ def make_distill_step(schedule: DiffusionSchedule,
     — the SAME replaced label feeds teacher and student, so a conditional
     student also distills the teacher's unconditional path (which is what
     null-label FID protocols sample).
+
+    ``clip_x0`` (default True) makes the teacher rollout use the exact
+    clipped-DDIM transition the samplers default to, so the distillation
+    target is the same teacher the baseline FID rows evaluate; disable
+    only for analytic tests on unbounded data.
     """
     tab = phase_tables(schedule, num_student_steps)
     N = num_student_steps
@@ -160,10 +175,10 @@ def make_distill_step(schedule: DiffusionSchedule,
         # frozen teacher: two DDIM transitions, no gradient flow
         targs = (x_s, t_s) if y is None else (x_s, t_s, y)
         eps1 = jax.lax.stop_gradient(teacher_eps_fn(teacher_params, *targs))
-        x_m = _ddim_to(x_s, a_s, s_s, a_m, s_m, eps1)
+        x_m = _ddim_to(x_s, a_s, s_s, a_m, s_m, eps1, clip_x0=clip_x0)
         margs = (x_m, t_m) if y is None else (x_m, t_m, y)
         eps2 = jax.lax.stop_gradient(teacher_eps_fn(teacher_params, *margs))
-        x_pp = _ddim_to(x_m, a_m, s_m, a_e, s_e, eps2)
+        x_pp = _ddim_to(x_m, a_m, s_m, a_e, s_e, eps2, clip_x0=clip_x0)
 
         x0_target = jax.lax.stop_gradient(
             distill_targets(x_s, a_s, s_s, a_e, s_e, x_pp))

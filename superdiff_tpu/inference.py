@@ -216,7 +216,8 @@ def make_eps_fn_p(model, label: Optional[int] = None,
 
 
 def make_eps_fn(model, params,
-                label: Optional[int] = None) -> Callable:
+                label: Optional[int] = None,
+                schedule: Optional[DiffusionSchedule] = None) -> Callable:
     """Build the sampler-facing eps function with ``params`` bound.
 
     For conditional models, ``label=None`` means the null (unconditional)
@@ -225,7 +226,10 @@ def make_eps_fn(model, params,
     or the conditional ``(x, t, y)`` when the model is conditional and the
     caller wants per-sample labels (pass ``label="per_sample"``). Prefer
     :func:`make_eps_fn_p` under jit (see its note on remote-compile size).
+    ``schedule`` is required for v/x0-parameterized models (same contract
+    as :func:`make_eps_fn_p`).
     """
     import functools
 
-    return functools.partial(make_eps_fn_p(model, label), params)
+    return functools.partial(make_eps_fn_p(model, label, schedule=schedule),
+                             params)

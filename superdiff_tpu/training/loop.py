@@ -126,6 +126,7 @@ def train(cfg: Config,
     mesh = make_mesh(n_dev) if n_dev > 1 else None
     if mesh is not None and B % n_dev:
         raise ValueError(f"batch_size {B} not divisible by {n_dev} devices")
+    parameterization = getattr(cfg.model, "parameterization", "eps")
     step_fn = make_train_step(schedule, mesh=mesh, conditional=conditional,
                               cfg_drop_prob=t.cfg_drop_prob,
                               null_label=getattr(model, "null_label", 0),
@@ -133,7 +134,8 @@ def train(cfg: Config,
                               weighting=t.loss_weighting,
                               min_snr_gamma=t.min_snr_gamma,
                               augmentation=t.augmentation,
-                              normalization=t.normalization)
+                              normalization=t.normalization,
+                              parameterization=parameterization)
 
     # validation: EMA loss on the val split every eval_every epochs; the
     # best-val step is checkpointed separately so a late-training regression
@@ -144,7 +146,8 @@ def train(cfg: Config,
                              loss_type=t.loss_type,
                              weighting=t.loss_weighting,
                              min_snr_gamma=t.min_snr_gamma,
-                             normalization=t.normalization) \
+                             normalization=t.normalization,
+                             parameterization=parameterization) \
         if t.eval_every > 0 else None
 
     def _val_batches():
@@ -370,14 +373,24 @@ def train(cfg: Config,
                     last_real = prepare_batch(last_real, None, "none",
                                               t.normalization)
                 n_vis = min(8, B)
+
+                def _to_eps(xx, tt, pred):
+                    # v/x0 heads: convert to the eps the sampler consumes
+                    if parameterization == "eps":
+                        return pred
+                    from superdiff_tpu.diffusion.process import eps_from_pred
+                    return eps_from_pred(schedule, xx, tt, pred,
+                                         parameterization)
+
                 if conditional:
                     y_vis = jnp.arange(n_vis, dtype=jnp.int32) \
                         % cfg.model.num_classes
-                    fn = lambda xx, tt, yy: state.apply_fn(
-                        state.ema_params, xx, tt, yy)
+                    fn = lambda xx, tt, yy: _to_eps(xx, tt, state.apply_fn(
+                        state.ema_params, xx, tt, yy))
                 else:
                     y_vis = None
-                    fn = lambda xx, tt: state.apply_fn(state.ema_params, xx, tt)
+                    fn = lambda xx, tt: _to_eps(xx, tt, state.apply_fn(
+                        state.ema_params, xx, tt))
                 gen = ddpm_sample(schedule, fn, (n_vis, R, R, 1),
                                   jax.random.fold_in(root_key, 7_000 + epoch),
                                   y=y_vis)

@@ -45,8 +45,11 @@ def make_optimizer(learning_rate: float = 2e-4,
     elif schedule == "cosine":
         if total_steps is None:
             raise ValueError("cosine schedule requires total_steps")
+        # optax requires decay_steps = total - warmup > 0; clamp warmup to
+        # total-1 so one-step smoke runs construct (warmup 0 is valid)
+        warm = min(max(warmup_steps, 1), max(total_steps - 1, 0))
         lr = optax.schedules.warmup_cosine_decay_schedule(
-            0.0, learning_rate, max(warmup_steps, 1), total_steps)
+            0.0, learning_rate, warm, total_steps)
     else:
         raise ValueError(f"unknown lr schedule: {schedule!r}")
     if schedule == "constant" and warmup_steps > 0:

@@ -205,8 +205,11 @@ def test_distill_step_learns_constant_teacher():
     t0 = jnp.zeros((8,), dtype=jnp.int32)
     state = create_train_state(model, jax.random.PRNGKey(0), (x0, t0),
                                tx=make_optimizer(learning_rate=0.05))
+    # clip_x0=False: the analytic argument (two constant-eps DDIM steps
+    # compose into one) needs the unclipped transition — the test data is
+    # N(0,1) images, not [-1,1]-normalized
     step = make_distill_step(schedule, teacher_fn, num_student_steps=2,
-                             parameterization="eps")
+                             parameterization="eps", clip_x0=False)
     rng = jax.random.PRNGKey(1)
     losses = []
     for i in range(80):
@@ -261,8 +264,10 @@ def test_distill_cli_end_to_end(tmp_path):
         assert cfg_s.sampling.t_spacing == "trailing"
         assert cfg_s.sampling.num_steps == n
         out = os.path.join(str(tmp_path), f"samples_s{n}")
-        rc = sample_main(["--run-dir", sdir, "--method", "ddim",
-                          "--num-steps", str(n), "--batch-size", "4",
+        # no --method/--num-steps: the CLI must read the stamped
+        # sampling.method=ddim + num_steps=n (a default ddpm-1000 run on
+        # a 1-step student would sample way off its trained grid)
+        rc = sample_main(["--run-dir", sdir, "--batch-size", "4",
                           "--out", out])
         assert rc == 0
         x = np.load(os.path.join(out, "samples.npy"))
@@ -272,3 +277,91 @@ def test_distill_cli_end_to_end(tmp_path):
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         distill_main(["--run-dir", run, "--synthetic", "--steps", "8,2"])
+
+
+def test_ddim_to_clip_matches_sampler_transition():
+    """The teacher rollout's clipped transition must be the exact
+    transition ddim_sample(clip_x0=True, eta=0) executes — same x0 clamp,
+    same eps re-derivation."""
+    from superdiff_tpu.diffusion.distill import _ddim_to
+
+    schedule = make_schedule(100)
+    t_from, t_to = 99, 49
+    ab_f = float(schedule.alpha_bars[t_from])
+    ab_t = float(schedule.alpha_bars[t_to])
+    a_f, s_f = np.sqrt(ab_f), np.sqrt(1 - ab_f)
+    a_t, s_t = np.sqrt(ab_t), np.sqrt(1 - ab_t)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(4, 8, 8, 1)) * 3.0)  # forces clipping
+    eps = jnp.asarray(rng.normal(size=(4, 8, 8, 1)))
+
+    got = _ddim_to(x, a_f, s_f, a_t, s_t, eps, clip_x0=True)
+    x0 = np.clip((np.asarray(x) - s_f * np.asarray(eps)) / a_f, -1.0, 1.0)
+    eps_c = (np.asarray(x) - a_f * x0) / s_f
+    want = a_t * x0 + s_t * eps_c
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_train_forwards_parameterization(tmp_path, monkeypatch):
+    """train() must thread cfg.model.parameterization into BOTH the train
+    and eval steps (a v-configured run otherwise regresses its v-head onto
+    eps targets and samples garbage), and the resulting run must sample
+    through make_eps_fn's schedule-aware conversion."""
+    import os
+
+    import superdiff_tpu.training.loop as loop_mod
+    from superdiff_tpu.config import Config
+    from superdiff_tpu.diffusion import ddim_sample
+    from superdiff_tpu.inference import load_run, make_eps_fn
+
+    seen = {}
+    real_train_step = loop_mod.make_train_step
+    real_eval_step = loop_mod.make_eval_step
+
+    def spy_train(*a, **kw):
+        seen["train"] = kw.get("parameterization")
+        return real_train_step(*a, **kw)
+
+    def spy_eval(*a, **kw):
+        seen["eval"] = kw.get("parameterization")
+        return real_eval_step(*a, **kw)
+
+    monkeypatch.setattr(loop_mod, "make_train_step", spy_train)
+    monkeypatch.setattr(loop_mod, "make_eval_step", spy_eval)
+
+    cfg = Config()
+    cfg.experiment_id, cfg.run_id = "vp", "0"
+    cfg.paths.local_base = str(tmp_path)
+    cfg.training.batch_size = 8   # divisible by the 8-device CPU mesh
+    cfg.training.resolution = 16
+    cfg.training.num_epochs = 1
+    cfg.training.num_timesteps = 20
+    cfg.training.steps_per_epoch = 2
+    cfg.training.eval_every = 1
+    cfg.training.vis_every = 1        # exercises the v->eps vis conversion
+    cfg.model.base_channels = 8
+    cfg.model.parameterization = "v"
+    loop_mod.train(cfg, use_synthetic=True)
+    assert seen == {"train": "v", "eval": "v"}
+
+    run = os.path.join(str(tmp_path), "outputs", "PNEUMONIA",
+                       "experiment_vp_run_0")
+    cfg_r, model_r, schedule_r, ema_r = load_run(run)
+    fn = make_eps_fn(model_r, ema_r, schedule=schedule_r)
+    x = ddim_sample(schedule_r, fn, (2, 16, 16, 1), jax.random.PRNGKey(0),
+                    num_steps=4)
+    assert np.isfinite(np.asarray(x)).all()
+
+
+def test_cosine_optimizer_one_step_phase():
+    """total_steps=1 with a large warmup request must still construct (the
+    warmup is clamped inside the phase; optax rejects decay_steps=0)."""
+    from superdiff_tpu.training.state import make_optimizer
+
+    tx = make_optimizer(learning_rate=1e-4, warmup_steps=50,
+                        total_steps=1, schedule="cosine")
+    params = {"w": jnp.zeros((2,))}
+    state = tx.init(params)
+    g = {"w": jnp.ones((2,))}
+    updates, _ = tx.update(g, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()

@@ -13,7 +13,9 @@ samplers from any trained run.
 Each phase writes an exported inference artifact
 (``config.yaml + ema_params.npz``, the ``cli/export.py`` format) into
 ``<run-dir>/distill/s<N>/`` with ``sampling.method=ddim``,
-``sampling.num_steps=N`` and ``sampling.t_spacing=trailing`` stamped in,
+``sampling.num_steps=N``, ``sampling.t_spacing=trailing`` and
+``sampling.clip_x0=false`` (students train on unclipped one-step
+inversions) stamped in,
 so ``load_run`` / sample / evaluate / serve consume a student like any
 other run:
 
@@ -140,6 +142,10 @@ def main(argv=None) -> int:
     teacher_fn = make_eps_fn_p(teacher_model,
                                "per_sample" if conditional else None,
                                schedule=schedule)
+    # Phase 1 rolls the teacher with its own sampler's clip policy (so the
+    # distillation target IS the trajectory its baseline FID rows sample);
+    # student-teachers trained on unclipped inversions roll unclipped.
+    teacher_clip = bool(getattr(cfg.sampling, "clip_x0", True))
 
     rng = jax.random.PRNGKey(args.seed)
     for phase_idx, N in enumerate(steps_list):
@@ -176,7 +182,8 @@ def main(argv=None) -> int:
             parameterization=args.parameterization,
             null_prob=args.null_prob if conditional else 0.0,
             null_label=getattr(student_model, "null_label", 0),
-            normalization=t.normalization)
+            normalization=t.normalization,
+            clip_x0=teacher_clip)
 
         for epoch in range(args.phase_epochs):
             losses = []
@@ -202,6 +209,13 @@ def main(argv=None) -> int:
         out_cfg.sampling.num_steps = N
         out_cfg.sampling.t_spacing = "trailing"
         out_cfg.sampling.eta = 0.0
+        # distill_targets inverts the UNclipped one-step transition — the
+        # x0 the student learned to predict routinely lies outside [-1, 1]
+        # at high-noise nodes (it encodes the direction term needed to land
+        # on the teacher trajectory). Clamping it at inference would
+        # execute a different map than the one trained; sample/evaluate/
+        # serve honor this stamp via inference.resolve_sampler_spec.
+        out_cfg.sampling.clip_x0 = False
         save_config(out_cfg, os.path.join(sdir, "config.yaml"))
         ema_host = jax.device_get(state.ema_params)
         export_params(ema_host, os.path.join(sdir, "ema_params.npz"))
@@ -210,11 +224,13 @@ def main(argv=None) -> int:
                     phase_idx + 1, time.time() - phase_tic, sdir, N)
 
         # the student becomes the next phase's teacher; students are
-        # already eps-adaptable through their own parameterization
+        # already eps-adaptable through their own parameterization and
+        # execute the unclipped transition they trained on
         teacher_params = state.ema_params
         teacher_fn = make_eps_fn_p(student_model,
                                    "per_sample" if conditional else None,
                                    schedule=schedule)
+        teacher_clip = False
 
     print(f"distilled {args.run_dir} -> {out_base} "
           f"(students: {steps_list})")

@@ -128,34 +128,25 @@ def main(argv=None) -> int:
 
     # --method omitted: a run whose config stamps a fast sampler (distilled
     # students: ddim + their trained step count) is evaluated on its own
-    # grid; plain runs keep the ddim-100 FID protocol default
-    method = args.method
-    num_steps = args.num_steps
-    if method is None:
-        stamped = getattr(cfg.sampling, "method", "ddpm")
-        if stamped in ("ddim", "dpmpp"):
-            method = stamped
-            if num_steps is None:
-                num_steps = getattr(cfg.sampling, "num_steps", None)
-        else:
-            method = "ddim"
+    # grid/transition; plain runs keep the ddim-100 FID protocol default
+    from superdiff_tpu.inference import resolve_sampler_spec
+    method, num_steps, spacing, clip_x0 = resolve_sampler_spec(
+        cfg, args.method, args.num_steps, args.spacing,
+        allowed=("ddim", "dpmpp"), fallback="ddim")
     if num_steps is None:
         num_steps = 100
 
     if method == "ddim":
-        spacing = (args.spacing if args.spacing != "auto"
-                   else getattr(cfg.sampling, "t_spacing", "leading"))
-
         def _sample(r, p, y):
             kw = dict(extra, y=y) if conditional else extra
             return ddim_sample(schedule, _eps(p), shape, r,
                                num_steps=num_steps,
-                               t_spacing=spacing, **kw)
+                               t_spacing=spacing, clip_x0=clip_x0, **kw)
     elif method == "dpmpp":
         def _sample(r, p, y):
             kw = dict(extra, y=y) if conditional else extra
             return dpmpp_sample(schedule, _eps(p), shape, r,
-                                num_steps=num_steps, **kw)
+                                num_steps=num_steps, clip_x0=clip_x0, **kw)
     else:
         def _sample(r, p, y):
             kw = dict(extra, y=y) if conditional else extra

@@ -155,16 +155,11 @@ def main(argv=None) -> int:
         sample_fn = lambda r: jitted(r, ema, ema2)
     else:
         # --method omitted: follow the run config (cli/distill.py stamps
-        # method=ddim + num_steps=N + t_spacing=trailing into each student
-        # so default invocations sample on the grid the student trained on)
-        method = args.method
-        num_steps = args.num_steps
-        if method is None:
-            stamped = getattr(cfg.sampling, "method", "ddpm")
-            method = stamped if stamped in ("ddpm", "ddim", "dpmpp") \
-                else "ddpm"
-            if num_steps is None and method != "ddpm":
-                num_steps = getattr(cfg.sampling, "num_steps", None)
+        # method/num_steps/t_spacing/clip_x0 into each student so default
+        # invocations execute the exact transition the student trained on)
+        from superdiff_tpu.inference import resolve_sampler_spec
+        method, num_steps, spacing, clip_x0 = resolve_sampler_spec(
+            cfg, args.method, args.num_steps, args.spacing)
         if cfg.model.conditional and args.label is not None:
             y = jnp.full((B,), args.label, dtype=jnp.int32)
             applyp = make_eps_fn_p(model, "per_sample", schedule=schedule)
@@ -176,14 +171,13 @@ def main(argv=None) -> int:
 
         if method == "ddim":
             steps = num_steps or 50
-            spacing = (args.spacing if args.spacing != "auto"
-                       else getattr(cfg.sampling, "t_spacing", "leading"))
 
             def _single(r, p):
                 fn = lambda *a: applyp(p, *a)
                 return ddim_sample(schedule, fn, shape, r,
                                    num_steps=steps, eta=args.eta,
-                                   t_spacing=spacing, **extra)
+                                   t_spacing=spacing, clip_x0=clip_x0,
+                                   **extra)
         elif method == "dpmpp":
             if args.eta:
                 raise SystemExit(
@@ -194,7 +188,8 @@ def main(argv=None) -> int:
             def _single(r, p):
                 fn = lambda *a: applyp(p, *a)
                 return dpmpp_sample(schedule, fn, shape, r,
-                                    num_steps=steps, **extra)
+                                    num_steps=steps, clip_x0=clip_x0,
+                                    **extra)
         else:
             def _single(r, p):
                 fn = lambda *a: applyp(p, *a)

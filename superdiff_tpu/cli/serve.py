@@ -98,25 +98,22 @@ def main(argv=None) -> int:
     elif args.method == "superdiff":
         raise SystemExit("--method superdiff requires --run-dir2")
 
+    # --method omitted: warm a distilled student on the exact spec it
+    # trained for (cli/distill.py stamps method/num_steps/t_spacing/
+    # clip_x0); otherwise keep the ddim-50 default. t_spacing and clip_x0
+    # are run-level service policy, not request knobs.
+    from superdiff_tpu.inference import resolve_sampler_spec
+    method, steps, t_spacing, clip_x0 = resolve_sampler_spec(
+        cfg, args.method, args.steps,
+        allowed=("ddim", "dpmpp"), fallback="ddim")
+
     service = SamplerService(
         model, schedule, ema, resolution=cfg.training.resolution,
         conditional=cfg.model.conditional, batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms, mesh=mesh,
         params2=ema2, model2=model2,
-        t_spacing=getattr(cfg.sampling, "t_spacing", "leading"))
+        t_spacing=t_spacing, clip_x0=clip_x0)
 
-    # --method omitted: warm a distilled student on the exact spec it
-    # trained for (cli/distill.py stamps method + num_steps); otherwise
-    # keep the ddim-50 default
-    method, steps = args.method, args.steps
-    if method is None:
-        stamped = getattr(cfg.sampling, "method", "ddpm")
-        if stamped in ("ddim", "dpmpp"):
-            method = stamped
-            if steps is None:
-                steps = getattr(cfg.sampling, "num_steps", None)
-        else:
-            method = "ddim"
     steps = steps or (10 if method == "dpmpp" else 50)
     spec = SampleSpec(method=method, steps=steps, mode=args.mode)
     print(f"warming {spec} at batch {args.batch_size} ...", flush=True)

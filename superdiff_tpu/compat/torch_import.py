@@ -54,7 +54,20 @@ def _to_numpy(v) -> np.ndarray:
 
 def normalize_state_dict(sd: Dict) -> Dict[str, np.ndarray]:
     """Strip wrapper prefixes, drop non-tensor bookkeeping entries
-    (ema-pytorch's ``initted``/``step``), convert tensors to numpy."""
+    (ema-pytorch's ``initted``/``step``), convert tensors to numpy.
+
+    A whole-EMA-object save (``torch.save(ema.state_dict())`` with
+    ema-pytorch's default ``include_online_model=True``) carries BOTH
+    ``ema_model.*`` and ``online_model.*`` weight sets; stripping both into
+    one key space would let dict order silently decide which survives. The
+    EMA weights are the deliverable the reference samples from
+    (``training_logic.py:55``), so when both are present only ``ema_model.*``
+    is imported."""
+    keys = list(sd)
+    if (any(k.startswith("ema_model.") for k in keys)
+            and any(k.startswith("online_model.") for k in keys)):
+        sd = {k: v for k, v in sd.items()
+              if not k.startswith("online_model.")}
     out = {}
     for k, v in sd.items():
         for pre in _STRIP_PREFIXES:

@@ -122,6 +122,46 @@ def load_run(run_dir: str, step: Optional[int] = None, best: bool = False
     return cfg, model, schedule, state.ema_params
 
 
+def resolve_sampler_spec(cfg: Config,
+                         method: Optional[str] = None,
+                         num_steps: Optional[int] = None,
+                         spacing: str = "auto",
+                         allowed=("ddpm", "ddim", "dpmpp"),
+                         fallback: str = "ddpm"):
+    """The ONE place a run's stamped sampling block meets CLI overrides.
+
+    ``cli/distill.py`` stamps ``sampling.{method,num_steps,t_spacing,
+    clip_x0}`` into each exported student so default invocations sample on
+    the exact grid/transition the student trained for; sample/evaluate/
+    serve all resolve through here instead of re-implementing the dance
+    (their accept lists had already drifted).
+
+    Explicit CLI values always win. With ``method=None`` the stamp is
+    adopted when it names a sampler in ``allowed`` (and its stamped
+    ``num_steps`` with it, except for ddpm which always runs full T);
+    otherwise ``fallback`` applies and the stamp's step count is ignored
+    (the config default is ddpm/1000 — adopting those steps would silently
+    change a caller's protocol). ``spacing="auto"`` reads the stamped
+    ``t_spacing``. Returns ``(method, num_steps, t_spacing, clip_x0)``
+    with ``num_steps`` possibly None — callers apply their own per-method
+    protocol defaults (evaluate's FID protocol is DDIM-100, sample's
+    default is DDIM-50).
+    """
+    scfg = getattr(cfg, "sampling", None)
+    if method is None:
+        stamped = getattr(scfg, "method", None)
+        if stamped in allowed:
+            method = stamped
+            if num_steps is None and method != "ddpm":
+                num_steps = getattr(scfg, "num_steps", None)
+        else:
+            method = fallback
+    if spacing in (None, "auto"):
+        spacing = getattr(scfg, "t_spacing", "leading")
+    clip_x0 = bool(getattr(scfg, "clip_x0", True))
+    return method, num_steps, spacing, clip_x0
+
+
 def check_superpose_compat(cfg: Config, cfg2: Config) -> None:
     """Raise unless two runs share the diffusion process.
 
@@ -143,22 +183,38 @@ def check_superpose_compat(cfg: Config, cfg2: Config) -> None:
             "cannot superpose")
 
 
-def make_stacked_eps_fn(model, params_list, label=None) -> Callable:
+def make_stacked_eps_fn(model, params_list, label=None,
+                        schedule: Optional[DiffusionSchedule] = None
+                        ) -> Callable:
     """One fused ``(x, t) -> (M, B, ...)`` eps call over M checkpoints of
     the SAME architecture (see
     :func:`superdiff_tpu.diffusion.superdiff.stack_eps_fns`). ``label``
-    follows :func:`make_eps_fn` semantics (None -> null/unconditional)."""
+    follows :func:`make_eps_fn` semantics (None -> null/unconditional).
+    v/x0-headed models are converted to eps exactly as in
+    :func:`make_eps_fn_p` (``schedule`` required for those)."""
     from superdiff_tpu.diffusion.superdiff import stack_eps_fns
+
+    kind = getattr(model, "parameterization", "eps")
+    if kind != "eps" and schedule is None:
+        raise ValueError(
+            f"model predicts {kind!r}; pass schedule= to "
+            "make_stacked_eps_fn so the prediction can be converted to eps")
+
+    def _apply(p, x, t, *cond):
+        pred = model.apply(p, x, t, *cond)
+        if kind == "eps":
+            return pred
+        from superdiff_tpu.diffusion.process import eps_from_pred
+        return eps_from_pred(schedule, x, t, pred, kind)
 
     conditional = getattr(model, "num_classes", 0) > 0
     if not conditional:
-        return stack_eps_fns(
-            lambda p, x, t: model.apply(p, x, t), params_list)
+        return stack_eps_fns(_apply, params_list)
     fixed = model.null_label if label is None else int(label)
 
     def apply_fn(p, x, t):
         y = jnp.full((x.shape[0],), fixed, dtype=jnp.int32)
-        return model.apply(p, x, t, y)
+        return _apply(p, x, t, y)
 
     return stack_eps_fns(apply_fn, params_list)
 

@@ -116,9 +116,12 @@ def build_model(preset: str = "small64",
         # the parity model takes only its own graph fields (conditioning /
         # dtype-policy knobs don't exist on the reference graph); imported
         # reference checkpoints may override base_channels etc.
+        # parameterization is head *metadata*, not graph — it must survive
+        # the rebuild or v-distilled ref students get read as eps models.
         ref_fields = {k: v for k, v in overrides.items()
                       if k in ("in_channels", "out_channels",
-                               "time_emb_dim", "base_channels")}
+                               "time_emb_dim", "base_channels",
+                               "parameterization")}
         return RefUNet(**ref_fields)
     if preset not in _PRESETS:
         raise ValueError(

@@ -48,15 +48,26 @@ class RefResidualBlock(nn.Module):
 
 
 class RefUNet(nn.Module):
-    """The reference's exact model graph (``src/models/unet.py:38-65``)."""
+    """The reference's exact model graph (``src/models/unet.py:38-65``).
+
+    ``parameterization`` declares what the head's output *means* (eps/v/x0,
+    consumed by ``inference.make_eps_fn_p`` and the training loss targets);
+    it does not change the graph. It exists so imported reference
+    checkpoints can be progressively distilled (``cli/distill.py`` trains
+    v-headed students warm-started from the eps teacher).
+    """
     in_channels: int = 1
     out_channels: int = 1
     time_emb_dim: int = 256
     base_channels: int = 64
     dtype: jnp.dtype = jnp.float32
+    parameterization: str = "eps"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        if self.parameterization not in ("eps", "v", "x0"):
+            raise ValueError("parameterization must be eps/v/x0, got "
+                             f"{self.parameterization!r}")
         t_emb = TimeEmbeddingMLP(self.time_emb_dim, dtype=self.dtype,
                                  name="time_mlp")(t)
         bc = self.base_channels

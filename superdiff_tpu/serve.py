@@ -127,7 +127,7 @@ class SamplerService:
                  conditional: bool, batch_size: int = 16,
                  max_wait_ms: float = 20.0, autostart: bool = True,
                  mesh=None, params2=None, model2=None,
-                 t_spacing: str = "leading"):
+                 t_spacing: str = "leading", clip_x0: bool = True):
         import jax
 
         if t_spacing not in ("leading", "trailing"):
@@ -137,8 +137,11 @@ class SamplerService:
         # distilled student is only trained at its trailing grid nodes
         # (cli/distill.py stamps sampling.t_spacing='trailing' into its
         # exported config) — serving it on the leading grid would sample
-        # off-manifold
+        # off-manifold. clip_x0 is run-level for the same reason: students
+        # train against the UNclipped one-step transition (stamped False),
+        # clamping their x0 predictions would execute a different map.
         self._t_spacing = t_spacing
+        self._clip_x0 = bool(clip_x0)
         self._model = model
         self._schedule = schedule
         self._resolution = int(resolution)
@@ -410,10 +413,12 @@ class SamplerService:
             if spec.method == "ddim":
                 return ddim_sample(schedule, eps, shape, rng,
                                    num_steps=spec.steps, eta=spec.eta,
-                                   t_spacing=self._t_spacing, **extra)
+                                   t_spacing=self._t_spacing,
+                                   clip_x0=self._clip_x0, **extra)
             if spec.method == "dpmpp":
                 return dpmpp_sample(schedule, eps, shape, rng,
-                                    num_steps=spec.steps, **extra)
+                                    num_steps=spec.steps,
+                                    clip_x0=self._clip_x0, **extra)
             return ddpm_sample(schedule, eps, shape, rng, **extra)
 
         if self._mesh is not None:
@@ -511,6 +516,7 @@ def make_http_server(service: SamplerService, host: str = "127.0.0.1",
                     "resolution": service.resolution,
                     "batch_size": service.batch_size,
                     "t_spacing": service._t_spacing,
+                    "clip_x0": service._clip_x0,
                     "methods": methods,
                     "superdiff_modes": list(_SD_MODES) if superposed else [],
                     "conditional": service._conditional, **info})

@@ -123,6 +123,59 @@ def test_import_cli_round_trip(tmp_path):
     assert x.shape == (2, 16, 16, 1) and np.isfinite(x).all()
 
 
+def test_whole_ema_object_save_prefers_ema_weights():
+    """ema-pytorch's default state_dict carries BOTH online_model.* and
+    ema_model.* weight sets; the import must pick the EMA set (the
+    deliverable the reference samples from), never let dict order decide."""
+    torch.manual_seed(4)
+    ema_net = _torch_ref_unet(base_channels=8)
+    online_net = _torch_ref_unet(base_channels=8)  # different weights
+    sd = {}
+    # online first in insertion order — the buggy strip-both would keep
+    # whichever iterates LAST, here ema; reverse order must not flip it
+    for k, v in online_net.state_dict().items():
+        sd[f"online_model.{k}"] = v
+    for k, v in ema_net.state_dict().items():
+        sd[f"ema_model.{k}"] = v
+    sd["initted"] = torch.tensor(True)
+    sd["step"] = torch.tensor(7)
+
+    for order in (sd, dict(reversed(list(sd.items())))):
+        norm = normalize_state_dict(order)
+        want = ema_net.state_dict()["downs.0.block.2.weight"].numpy()
+        np.testing.assert_array_equal(norm["downs.0.block.2.weight"], want)
+
+
+def test_ref_preset_carries_parameterization():
+    """build_model('ref') must keep the parameterization override — a
+    v-distilled student of an imported reference run is rebuilt from its
+    config snapshot, and dropping the field would silently read its v head
+    as eps everywhere (samplers, losses, serving)."""
+    from superdiff_tpu.config import Config
+    from superdiff_tpu.inference import make_eps_fn_p
+    from superdiff_tpu.models.presets import build_model, model_from_config
+
+    m = build_model("ref", base_channels=8, parameterization="v")
+    assert isinstance(m, RefUNet) and m.parameterization == "v"
+
+    cfg = Config()
+    cfg.model.preset = "ref"
+    cfg.model.conditional = False
+    cfg.model.base_channels = 8
+    cfg.model.parameterization = "v"
+    m2 = model_from_config(cfg)
+    assert m2.parameterization == "v"
+    # the eps adapter now demands the schedule it converts through
+    with pytest.raises(ValueError, match="schedule"):
+        make_eps_fn_p(m2)
+
+    with pytest.raises(ValueError, match="parameterization"):
+        build_model("ref", base_channels=8,
+                    parameterization="nope").init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 1)),
+            jnp.zeros((1,), dtype=jnp.int32))
+
+
 def test_import_rejects_garbage_and_strips_prefixes(tmp_path):
     # wrapper prefixes (DataParallel / whole-EMA-object saves) are stripped
     net = _torch_ref_unet(base_channels=8)

@@ -263,6 +263,9 @@ def test_distill_cli_end_to_end(tmp_path):
         assert model_s.parameterization == "v"
         assert cfg_s.sampling.t_spacing == "trailing"
         assert cfg_s.sampling.num_steps == n
+        # students are trained against the UNclipped one-step inversion;
+        # the stamp makes sample/evaluate/serve execute that same map
+        assert cfg_s.sampling.clip_x0 is False
         out = os.path.join(str(tmp_path), f"samples_s{n}")
         # no --method/--num-steps: the CLI must read the stamped
         # sampling.method=ddim + num_steps=n (a default ddpm-1000 run on
@@ -277,6 +280,43 @@ def test_distill_cli_end_to_end(tmp_path):
     import pytest as _pytest
     with _pytest.raises(SystemExit):
         distill_main(["--run-dir", run, "--synthetic", "--steps", "8,2"])
+
+
+def test_resolve_sampler_spec_policies():
+    """One helper resolves the stamped sampling block for all three CLIs —
+    explicit values win, stamps are adopted only from the caller's allowed
+    set, and a fallback never inherits the stamp's step count (the config
+    default is ddpm/1000 — adopting it would silently rewrite the FID
+    protocol)."""
+    from superdiff_tpu.config import Config
+    from superdiff_tpu.inference import resolve_sampler_spec
+
+    cfg = Config()  # defaults: method=ddpm, num_steps=1000, clip_x0=True
+
+    # plain run through evaluate's policy: fallback ddim, steps untouched
+    m, n, sp, clip = resolve_sampler_spec(
+        cfg, None, None, "auto", allowed=("ddim", "dpmpp"), fallback="ddim")
+    assert (m, n, sp, clip) == ("ddim", None, "leading", True)
+
+    # sample.py's policy accepts the ddpm stamp itself (but never its T)
+    m, n, _, _ = resolve_sampler_spec(cfg, None, None, "auto")
+    assert (m, n) == ("ddpm", None)
+
+    # distilled-student stamp: method+steps+spacing+clip all adopted
+    cfg.sampling.method = "ddim"
+    cfg.sampling.num_steps = 4
+    cfg.sampling.t_spacing = "trailing"
+    cfg.sampling.clip_x0 = False
+    m, n, sp, clip = resolve_sampler_spec(
+        cfg, None, None, "auto", allowed=("ddim", "dpmpp"), fallback="ddim")
+    assert (m, n, sp, clip) == ("ddim", 4, "trailing", False)
+
+    # explicit CLI values always win over the stamp (except run-level
+    # clip_x0/spacing policy, which has no CLI override by design)
+    m, n, sp, clip = resolve_sampler_spec(
+        cfg, "dpmpp", 10, "leading", allowed=("ddim", "dpmpp"),
+        fallback="ddim")
+    assert (m, n, sp, clip) == ("dpmpp", 10, "leading", False)
 
 
 def test_ddim_to_clip_matches_sampler_transition():

@@ -42,11 +42,14 @@ def main():
     res = cfg.training.resolution
     shape = (BATCH, res, res, 1)
     fn_p = make_eps_fn_p(model, schedule=schedule)
+    # honor the student's stamped clip policy (trained on unclipped
+    # one-step inversions -> clip_x0=false in the exported config)
+    clip = bool(getattr(cfg.sampling, "clip_x0", True))
 
     for steps in STEPS:
         jitted = jax.jit(lambda p, r, n=steps: ddim_sample(
             schedule, lambda x, t: fn_p(p, x, t), shape, r, num_steps=n,
-            eta=0.0, t_spacing="trailing"))
+            eta=0.0, t_spacing="trailing", clip_x0=clip))
         rng = jax.random.PRNGKey(1)
         tic = time.time()
         jax.block_until_ready(jitted(params, rng))

@@ -83,6 +83,7 @@ class TrainingConfig:
     resize_strategy: str = "pad"        # pad|center_crop|resize
     histogram_equalization: bool = False
     learning_rate: float = 2e-4         # training_logic.py:15
+    grad_accum: int = 1                 # microbatches per optimizer update
     weight_decay: float = 0.0
     grad_clip_norm: Optional[float] = None
     lr_schedule: str = "constant"

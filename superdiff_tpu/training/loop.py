@@ -135,7 +135,8 @@ def train(cfg: Config,
                               min_snr_gamma=t.min_snr_gamma,
                               augmentation=t.augmentation,
                               normalization=t.normalization,
-                              parameterization=parameterization)
+                              parameterization=parameterization,
+                              grad_accum=getattr(t, "grad_accum", 1))
 
     # validation: EMA loss on the val split every eval_every epochs; the
     # best-val step is checkpointed separately so a late-training regression

@@ -35,7 +35,8 @@ def make_train_step(schedule: DiffusionSchedule,
                     parameterization: str = "eps",
                     augmentation: str = "none",
                     normalization: str = "tanh",
-                    state_shardings=None) -> Callable:
+                    state_shardings=None,
+                    grad_accum: int = 1) -> Callable:
     """Build the jitted train step.
 
     ``cfg_drop_prob``: probability of replacing each label with the null
@@ -57,9 +58,21 @@ def make_train_step(schedule: DiffusionSchedule,
     over the mesh's ``model`` axis on top of batch data parallelism; the
     default replicates the state (pure DP, SURVEY.md §2.4's deliverable).
 
+    ``grad_accum``: microbatch count k > 1 splits the batch into k
+    sequential grad computations inside ONE compiled step (``lax.scan``
+    over microbatches, activations for one microbatch live at a time) and
+    applies a single optimizer/EMA update on the averaged gradients —
+    effective batch B with the activation memory of B/k. Each microbatch
+    draws its own fold of the step RNG, so the k grads are exactly the k
+    independent-microbatch grads (parity pinned in test_training.py).
+    Requires ``B % k == 0`` (and ``B/k`` still divisible by the mesh's
+    data axis for even sharding).
+
     Returns ``step_fn(state, batch) -> (state, metrics)`` where ``batch`` is
     ``{"image": (B,H,W,C)}`` plus ``{"label": (B,)}`` when conditional.
     """
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
 
     def loss_of(params, state, batch, rng):
         x = batch["image"]
@@ -88,11 +101,40 @@ def make_train_step(schedule: DiffusionSchedule,
                             weighting=weighting, min_snr_gamma=min_snr_gamma,
                             parameterization=parameterization)
 
+    def grads_of(state, batch, step_rng):
+        if grad_accum == 1:
+            return jax.value_and_grad(loss_of)(
+                state.params, state, batch, step_rng)
+        B = batch["image"].shape[0]
+        if B % grad_accum:
+            raise ValueError(f"batch size {B} not divisible by "
+                             f"grad_accum {grad_accum}")
+        micro = jax.tree_util.tree_map(
+            lambda a: a.reshape((grad_accum, B // grad_accum) + a.shape[1:]),
+            batch)
+
+        def body(carry, inp):
+            loss_sum, grad_sum = carry
+            i, mb = inp
+            mb_rng = jax.random.fold_in(step_rng, i)
+            loss, grads = jax.value_and_grad(loss_of)(
+                state.params, state, mb, mb_rng)
+            grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+            return (loss_sum + loss, grad_sum), None
+
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p), state.params)
+        (loss_sum, grad_sum), _ = jax.lax.scan(
+            body, (jnp.zeros(()), zeros),
+            (jnp.arange(grad_accum), micro))
+        inv = 1.0 / grad_accum
+        return loss_sum * inv, jax.tree_util.tree_map(
+            lambda g: g * inv, grad_sum)
+
     def step_fn(state: TrainState, batch) -> tuple:
         rng, step_rng = jax.random.split(state.rng)
         step_rng = jax.random.fold_in(step_rng, state.step)
-        loss, grads = jax.value_and_grad(loss_of)(
-            state.params, state, batch, step_rng)
+        loss, grads = grads_of(state, batch, step_rng)
         updates, opt_state = state.tx.update(grads, state.opt_state,
                                              state.params)
         params = jax.tree_util.tree_map(

@@ -131,6 +131,11 @@ class ModelConfig:
     # (BASELINE.md); None keeps the preset's value.
     num_res_blocks: Optional[Tuple[int, ...]] = None
     dropout: float = 0.0
+    # Rematerialize ResBlocks/attention in the backward pass
+    # (jax.checkpoint): ~num_res_blocks x less activation HBM during
+    # training for one extra forward — enables batches/models past HBM.
+    # Grad parity with remat off is pinned in tests/test_models.py.
+    remat: bool = False
     # What the network head predicts: eps (reference semantics,
     # src/models/ddpm.py:20-24), v (Salimans & Ho 2022, arXiv:2202.00512 —
     # stays well-conditioned at few sampler steps; required teacher form

@@ -157,6 +157,8 @@ def model_from_config(cfg) -> CondUNet:
     pz = getattr(cfg.model, "parameterization", "eps")
     if pz != "eps":
         overrides["parameterization"] = pz
+    if getattr(cfg.model, "remat", False):
+        overrides["remat"] = True
     return build_model(
         cfg.model.preset,
         num_classes=cfg.model.num_classes if cfg.model.conditional else 0,

@@ -85,6 +85,15 @@ class CondUNet(nn.Module):
                                    # the three; consumers convert via
                                    # diffusion.process.eps_from_pred
                                    # (arXiv:2202.00512 §2.4 for v)
+    remat: bool = False            # rematerialize each ResBlock/attention in
+                                   # the backward pass (jax.checkpoint via
+                                   # nn.remat): activation memory drops to
+                                   # ~one block's worth per level at the
+                                   # cost of a second forward — the
+                                   # standard TPU lever for training
+                                   # larger batches/models than HBM holds.
+                                   # Param structure and forward numerics
+                                   # are unchanged (parity tests).
 
     @property
     def null_label(self) -> int:
@@ -115,6 +124,14 @@ class CondUNet(nn.Module):
                              f"{self.parameterization!r}")
         cd = self.compute_dtype
         p = self.pixel_shuffle
+
+        if self.remat:
+            # nn.remat counts the module as arg 0, so deterministic (a
+            # concrete bool consumed by nn.Dropout) is arg 3
+            Res = nn.remat(ResBlock, static_argnums=(3,))
+            Attn = nn.remat(SelfAttention2D)
+        else:
+            Res, Attn = ResBlock, SelfAttention2D
 
         n_levels = len(self.channel_mults)
         if isinstance(self.num_res_blocks, int):
@@ -157,13 +174,13 @@ class CondUNet(nn.Module):
             for level, mult in enumerate(self.channel_mults):
                 ch = self.base_channels * mult
                 for block in range(blocks_per_level[level]):
-                    h = ResBlock(ch, compute_dtype=cd, groups=self.groups,
+                    h = Res(ch, compute_dtype=cd, groups=self.groups,
                                  norm_dtype=self.norm_dtype,
                                  dropout=self.dropout,
                                  name=f"down_{level}_block_{block}")(
                                      h, emb, deterministic)
                     if resolution in self.attn_resolutions:
-                        h = SelfAttention2D(
+                        h = Attn(
                             self.num_heads, compute_dtype=cd,
                             norm_dtype=self.norm_dtype,
                             name=f"down_{level}_attn_{block}")(h)
@@ -178,14 +195,14 @@ class CondUNet(nn.Module):
 
         # --- middle ---
         mid_ch = self.base_channels * self.channel_mults[-1]
-        h = ResBlock(mid_ch, compute_dtype=cd, groups=self.groups,
+        h = Res(mid_ch, compute_dtype=cd, groups=self.groups,
                      norm_dtype=self.norm_dtype,
                      dropout=self.dropout, name="mid_block_0")(
                          h, emb, deterministic)
-        h = SelfAttention2D(self.num_heads, compute_dtype=cd,
+        h = Attn(self.num_heads, compute_dtype=cd,
                                         norm_dtype=self.norm_dtype,
                             name="mid_attn")(h)
-        h = ResBlock(mid_ch, compute_dtype=cd, groups=self.groups,
+        h = Res(mid_ch, compute_dtype=cd, groups=self.groups,
                      norm_dtype=self.norm_dtype,
                      dropout=self.dropout, name="mid_block_1")(
                          h, emb, deterministic)
@@ -198,13 +215,13 @@ class CondUNet(nn.Module):
             for block in range(blocks_per_level[level] + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip.astype(cd)], axis=-1)
-                h = ResBlock(ch, compute_dtype=cd, groups=self.groups,
+                h = Res(ch, compute_dtype=cd, groups=self.groups,
                              norm_dtype=self.norm_dtype,
                              dropout=self.dropout,
                              name=f"up_{level}_block_{block}")(
                                  h, emb, deterministic)
                 if resolution in up_attn:
-                    h = SelfAttention2D(self.num_heads, compute_dtype=cd,
+                    h = Attn(self.num_heads, compute_dtype=cd,
                                         norm_dtype=self.norm_dtype,
                                         name=f"up_{level}_attn_{block}")(h)
             if level != 0:

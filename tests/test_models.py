@@ -346,3 +346,34 @@ def test_all_presets_build():
     assert m.num_res_blocks == (1, 1, 2, 2, 2)
     assert tuple(m.attn_resolutions) == (32, 16)
     assert tuple(m.up_attn_resolutions) == (16,)
+
+
+def test_cond_unet_remat_parity(rng):
+    """remat=True must not change the function: identical param structure,
+    identical forward output, and grads matching the unremat model (remat
+    recomputes the same ops in the bwd pass — values agree to fp noise)."""
+    model = _tiny_cond_unet()
+    model_r = _tiny_cond_unet(remat=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 16, 1)),
+                    jnp.float32)
+    t = jnp.array([3, 77])
+    y = jnp.array([0, 1])
+    params = model.init(rng, x, t, y)
+    params_r = model_r.init(rng, x, t, y)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_r))
+
+    out = model.apply(params, x, t, y)
+    out_r = model_r.apply(params, x, t, y)   # same params on the remat graph
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r),
+                               rtol=1e-6, atol=1e-7)
+
+    def loss(p, m):
+        return jnp.mean(jnp.square(m.apply(p, x, t, y)))
+
+    g = jax.grad(loss)(params, model)
+    g_r = jax.grad(loss)(params, model_r)
+    for a, b in zip(jax.tree_util.tree_leaves(g),
+                    jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=1e-6)

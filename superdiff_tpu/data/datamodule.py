@@ -9,7 +9,7 @@ augment/normalize step keyed off the training config.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,12 +21,30 @@ from superdiff_tpu.data.transforms import prepare_batch
 
 
 class DataModule:
-    def __init__(self, cfg: Config, dataset_root: str):
+    def __init__(self, cfg: Config, dataset_root: str,
+                 data_shard: Optional[Tuple[int, int]] = None):
         self.cfg = cfg
         self.root = dataset_root
+        # (process_index, process_count) for multi-host data parallelism;
+        # None -> auto-detect from the live jax.distributed topology at
+        # iterator-build time (single-process -> unsharded). Explicit
+        # tuples are for tests and custom launchers.
+        self._data_shard = data_shard
         self._indices: Dict[str, ChestXrayIndex] = {}
         self._epochs: Dict[tuple, int] = {}
         self._decode_caches: Dict[tuple, dict] = {}
+
+    def resolve_shard(self) -> Optional[Tuple[int, int]]:
+        """The (process_index, process_count) this module shards batches
+        by — every process loads a disjoint 1/count slice of each epoch's
+        global permutation and feeds its local 1/count of the global batch
+        (assembled into one global array by ``parallel.shard_batch`` via
+        ``jax.make_array_from_process_local_data``)."""
+        if self._data_shard is not None:
+            return self._data_shard
+        if jax.process_count() > 1:
+            return (jax.process_index(), jax.process_count())
+        return None
 
     def index(self, split: str) -> ChestXrayIndex:
         if split not in self._indices:
@@ -57,7 +75,18 @@ class DataModule:
     def _build_iterator(self, split: str, shuffle: bool, batch_size: int,
                         epoch: int):
         t = self.cfg.training
-        if t.use_native_loader and shuffle:
+        shard = self.resolve_shard()
+        if shard is not None:
+            _, nproc = shard
+            if batch_size % nproc:
+                raise ValueError(
+                    f"global batch_size {batch_size} not divisible by "
+                    f"process_count {nproc}")
+            batch_size //= nproc  # per-process local batch
+        if t.use_native_loader and shuffle and shard is None:
+            # the native shard cache shuffles in C++ from the seed alone;
+            # multi-host runs use the Python iterator's strided global
+            # permutation instead (same decode cache, sharded index walk)
             it = self._native_iterator(split, batch_size, epoch)
             if it is not None:
                 return it
@@ -79,6 +108,7 @@ class DataModule:
             resize_strategy=t.resize_strategy,
             histogram_equalization=t.histogram_equalization,
             cache=self._decode_caches.setdefault(cache_key, {}),
+            shard=shard,
         )
 
     def _native_iterator(self, split: str, batch_size: int, epoch: int = 0):

@@ -98,7 +98,7 @@ class BatchIterator:
                  resolution: int, shuffle: bool = True, seed: int = 0,
                  drop_last: bool = True, resize_strategy: str = "pad",
                  histogram_equalization: bool = False,
-                 cache=True):
+                 cache=True, shard: Optional[Tuple[int, int]] = None):
         self.index = index
         self.batch_size = batch_size
         self.resolution = resolution
@@ -107,6 +107,20 @@ class BatchIterator:
         self.drop_last = drop_last
         self.resize_strategy = resize_strategy
         self.histogram_equalization = histogram_equalization
+        # Multi-host data parallelism: shard=(process_index, process_count)
+        # makes this iterator yield only this process's strided slice of a
+        # GLOBAL seeded permutation (all processes compute the same order
+        # from the shared seed, so shards are disjoint and exhaustive).
+        # The order is truncated to a multiple of process_count first, so
+        # every process sees the same number of samples -> the same number
+        # of batches per epoch (hosts stay in lockstep; a straggler short
+        # epoch on one host would deadlock the collective in the train
+        # step). ``batch_size`` is the per-process (local) batch.
+        if shard is not None:
+            pid, nproc = shard
+            if not (0 <= pid < nproc):
+                raise ValueError(f"bad shard {shard}: need 0 <= id < count")
+        self.shard = shard
         self._epoch = 0
         # True -> private dict; an existing dict can be passed in to share
         # decoded images across iterator instances (see DataModule).
@@ -134,6 +148,9 @@ class BatchIterator:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
+        if self.shard is not None:
+            pid, nproc = self.shard
+            order = order[:len(order) - len(order) % nproc][pid::nproc]
         self._epoch += 1
         bs = self.batch_size
         end = len(order) - (len(order) % bs if self.drop_last else 0)
@@ -146,7 +163,10 @@ class BatchIterator:
             yield {"image": imgs[..., None], "label": labels}
 
     def __len__(self) -> int:
-        n = len(self.index) // self.batch_size
-        if not self.drop_last and len(self.index) % self.batch_size:
+        n_samples = len(self.index)
+        if self.shard is not None:
+            n_samples //= self.shard[1]
+        n = n_samples // self.batch_size
+        if not self.drop_last and n_samples % self.batch_size:
             n += 1
         return n

@@ -87,8 +87,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch (pytree of arrays) sharded on the data axis."""
+    """Device-put a host batch (pytree of arrays) sharded on the data axis.
+
+    Single-process: a plain sharded ``device_put`` of the full batch.
+    Multi-host (``jax.process_count() > 1``): ``batch`` is this process's
+    LOCAL slice — 1/process_count of the global batch, produced by the
+    DataModule's strided index shard — and is assembled into one global
+    array via ``jax.make_array_from_process_local_data`` (each host
+    uploads only its rows; the jitted step then sees the global batch).
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda a: jax.make_array_from_process_local_data(
+                sh, np.asarray(a)), batch)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), batch)
 
 

@@ -17,7 +17,14 @@
 // C API (ctypes-friendly):
 //   void*  xc_open(const char* path)
 //   int    xc_info(void* h, int32_t out[4])          // n,h,w,c
-//   int    xc_start_epoch(void* h, uint64_t seed, int batch, int drop_last)
+//   int    xc_start_epoch(void* h, uint64_t seed, int batch, int drop_last,
+//                          int shard_id, int shard_count)
+//       shard_id/shard_count: multi-host data parallelism — the epoch's
+//       seeded GLOBAL permutation (identical on every process for a given
+//       seed) is truncated to a multiple of shard_count and this process
+//       keeps the strided [shard_id::shard_count] slice: disjoint,
+//       exhaustive, same batch count everywhere (lockstep). (0, 1) = whole
+//       dataset.
 //   int    xc_next_batch(void* h, uint8_t* imgs, int32_t* labels)
 //       -> number of examples in the batch, 0 at epoch end, -1 on error
 //   void   xc_close(void* h)
@@ -191,8 +198,10 @@ int xc_info(void* h, int32_t out[4]) {
   return 0;
 }
 
-int xc_start_epoch(void* h, uint64_t seed, int batch, int drop_last) {
+int xc_start_epoch(void* h, uint64_t seed, int batch, int drop_last,
+                   int shard_id, int shard_count) {
   if (!h || batch <= 0) return -1;
+  if (shard_count < 1 || shard_id < 0 || shard_id >= shard_count) return -1;
   Cache* cc = static_cast<Cache*>(h);
   join_worker(cc);
 
@@ -208,6 +217,16 @@ int xc_start_epoch(void* h, uint64_t seed, int batch, int drop_last) {
   for (int32_t i = cc->n - 1; i > 0; --i) {
     uint64_t r = next_rand(s) % uint64_t(i + 1);
     std::swap(cc->order[i], cc->order[r]);
+  }
+  if (shard_count > 1) {
+    // identical global permutation on every process (same seed), strided
+    // disjoint slice per process, truncated for lockstep batch counts
+    int32_t usable = cc->n - cc->n % shard_count;
+    std::vector<int32_t> mine;
+    mine.reserve(usable / shard_count);
+    for (int32_t i = shard_id; i < usable; i += shard_count)
+      mine.push_back(cc->order[i]);
+    cc->order = std::move(mine);
   }
 
   size_t img_bytes = size_t(cc->h) * cc->w * cc->c;

@@ -83,11 +83,9 @@ class DataModule:
                     f"global batch_size {batch_size} not divisible by "
                     f"process_count {nproc}")
             batch_size //= nproc  # per-process local batch
-        if t.use_native_loader and shuffle and shard is None:
-            # the native shard cache shuffles in C++ from the seed alone;
-            # multi-host runs use the Python iterator's strided global
-            # permutation instead (same decode cache, sharded index walk)
-            it = self._native_iterator(split, batch_size, epoch)
+        if t.use_native_loader and shuffle:
+            it = self._native_iterator(split, batch_size, epoch,
+                                       shard=shard)
             if it is not None:
                 return it
         # decode-cache key includes every preprocessing knob baked into the
@@ -111,9 +109,13 @@ class DataModule:
             shard=shard,
         )
 
-    def _native_iterator(self, split: str, batch_size: int, epoch: int = 0):
+    def _native_iterator(self, split: str, batch_size: int, epoch: int = 0,
+                         shard: Optional[Tuple[int, int]] = None):
         """C++ mmap+prefetch loader over a one-time-built shard; None when
-        the native library is unavailable (callers fall back to Python)."""
+        the native library is unavailable (callers fall back to Python).
+        ``shard``: multi-host (process_index, process_count) slice — the
+        C++ strides the same seeded global permutation the Python
+        iterator would."""
         import logging
 
         from superdiff_tpu.data.native_loader import (
@@ -122,21 +124,22 @@ class DataModule:
         if not NativeBatchIterator.available():
             return None
         t = self.cfg.training
-        shard = os.path.join(
+        shard_path = os.path.join(
             self.root, ".shards",
             f"{self.cfg.task}_{split}_{t.resolution}"
             f"_{t.resize_strategy}"
             f"{'_he' if t.histogram_equalization else ''}"
             f"{'' if t.class_filter is None else f'_cf{t.class_filter}'}"
             ".xrc")
-        if not os.path.exists(shard):
+        if not os.path.exists(shard_path):
             logging.getLogger("superdiff_tpu").info(
-                "building native shard %s", shard)
+                "building native shard %s", shard_path)
             build_shard_from_index(
-                self.index(split), shard, t.resolution,
+                self.index(split), shard_path, t.resolution,
                 resize_strategy=t.resize_strategy,
                 histogram_equalization=t.histogram_equalization)
-        return NativeBatchIterator(shard, batch_size, seed=t.seed + epoch)
+        return NativeBatchIterator(shard_path, batch_size,
+                                   seed=t.seed + epoch, shard=shard)
 
     def device_batches(self, split: str, rng: jax.Array
                        ) -> Iterator[Dict[str, jnp.ndarray]]:

@@ -50,6 +50,7 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                             ctypes.POINTER(ctypes.c_int32)]
     lib.xc_start_epoch.restype = ctypes.c_int
     lib.xc_start_epoch.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                   ctypes.c_int, ctypes.c_int,
                                    ctypes.c_int, ctypes.c_int]
     lib.xc_next_batch.restype = ctypes.c_int
     lib.xc_next_batch.argtypes = [ctypes.c_void_p,
@@ -79,7 +80,10 @@ def write_shard(path: str, images: np.ndarray, labels: np.ndarray) -> str:
     n, h, w, c = images.shape
     assert labels.shape == (n,)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = path + ".tmp"
+    # pid-unique temp: on a shared filesystem several pod workers may
+    # build the same shard concurrently; each writes its own temp and the
+    # final os.replace is atomic (last writer wins with identical bytes)
+    tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(MAGIC)
         f.write(struct.pack("<4i", n, h, w, c))
@@ -114,7 +118,8 @@ class NativeBatchIterator:
     """Epoch iterator over a shard via the C++ prefetch ring."""
 
     def __init__(self, shard_path: str, batch_size: int, seed: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True,
+                 shard: Optional[tuple] = None):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native loader unavailable (build failed)")
@@ -129,6 +134,14 @@ class NativeBatchIterator:
         self.batch_size = batch_size
         self.seed = seed
         self.drop_last = drop_last
+        # (process_index, process_count) — the C++ shuffles the GLOBAL
+        # permutation from the shared seed and serves this process's
+        # strided disjoint slice (same semantics as BatchIterator(shard=))
+        if shard is not None:
+            pid, nproc = shard
+            if not (0 <= pid < nproc):
+                raise ValueError(f"bad shard {shard}: need 0 <= id < count")
+        self.shard = shard
         self._epoch = 0
 
     @staticmethod
@@ -136,13 +149,15 @@ class NativeBatchIterator:
         return get_lib() is not None
 
     def __len__(self) -> int:
-        q, r = divmod(self.n, self.batch_size)
+        n = self.n if self.shard is None else self.n // self.shard[1]
+        q, r = divmod(n, self.batch_size)
         return q if (self.drop_last or r == 0) else q + 1
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        pid, nproc = self.shard if self.shard is not None else (0, 1)
         rc = self._lib.xc_start_epoch(
             self._h, ctypes.c_uint64(self.seed + self._epoch + 1),
-            self.batch_size, 1 if self.drop_last else 0)
+            self.batch_size, 1 if self.drop_last else 0, pid, nproc)
         if rc != 0:
             raise RuntimeError("xc_start_epoch failed")
         self._epoch += 1

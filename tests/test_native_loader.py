@@ -125,3 +125,56 @@ def test_throughput_sane(tmp_path):
     dt = time.perf_counter() - tic
     assert n_bytes / dt > 100e6, f"{n_bytes/dt/1e6:.1f} MB/s"
     it.close()
+
+
+def _ids(it, images):
+    """Identify served examples by their exact bytes (first pixel is
+    unique per example in the shard fixture below)."""
+    ids = []
+    for b in it:
+        ids.extend(int(v) for v in b["image"][:, 0, 0, 0])
+    return ids
+
+
+@pytest.fixture(scope="module")
+def id_shard(tmp_path_factory):
+    n = 26  # not a multiple of the shard count: tests truncation
+    images = np.zeros((n, 8, 8, 1), dtype=np.uint8)
+    images[:, 0, 0, 0] = np.arange(n)
+    labels = (np.arange(n) % 2).astype(np.int32)
+    path = str(tmp_path_factory.mktemp("idshard") / "t.xrc")
+    write_shard(path, images, labels)
+    return path
+
+
+def test_native_shards_disjoint_exhaustive_lockstep(id_shard):
+    """Multi-host slices out of the C++ loader: same global permutation,
+    disjoint strided shards, equal batch counts (mirrors the Python
+    BatchIterator shard semantics in tests/test_data_sharding.py)."""
+    nproc = 4
+    iters = [NativeBatchIterator(id_shard, batch_size=2, seed=7,
+                                 shard=(pid, nproc))
+             for pid in range(nproc)]
+    per_shard = [_ids(it, None) for it in iters]
+    n_local = (26 - 26 % nproc) // nproc
+    assert all(len(s) == n_local for s in per_shard)
+    assert all(len(it) == n_local // 2 for it in iters)
+    union = sorted(sum(per_shard, []))
+    assert len(union) == len(set(union)) == nproc * n_local
+    for it in iters:
+        it.close()
+
+
+def test_native_shard_epoch_replay(id_shard):
+    it = NativeBatchIterator(id_shard, batch_size=2, seed=7, shard=(1, 4))
+    e1, e2 = _ids(it, None), _ids(it, None)
+    assert e1 != e2
+    it.close()
+    it2 = NativeBatchIterator(id_shard, batch_size=2, seed=7, shard=(1, 4))
+    assert _ids(it2, None) == e1
+    it2.close()
+
+
+def test_native_bad_shard_rejected(id_shard):
+    with pytest.raises(ValueError, match="shard"):
+        NativeBatchIterator(id_shard, batch_size=2, shard=(4, 4))

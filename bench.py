@@ -207,7 +207,11 @@ def measure_ours(preset: str = PRESET, res: int = RES,
     from superdiff_tpu.utils.env import host_init
 
     tic = time.time()
-    params = host_init(model.init, jax.random.PRNGKey(0), x, t0, y)
+    # disk-cached: the flagship host-CPU init costs ~533 s on this image's
+    # single core; the cache (validated against eval_shape) makes repeat
+    # bench runs start in seconds. Delete .jax_cache/params/ to force.
+    params = host_init(model.init, jax.random.PRNGKey(0), x, t0, y,
+                       cache_key=f"bench_{preset}_{res}_seed0")
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     log(f"init {n_params:,} params in {time.time()-tic:.0f}s (host CPU)")
 

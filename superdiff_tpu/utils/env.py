@@ -79,7 +79,7 @@ def resolve_paths(cfg: Config) -> RunPaths:
     )
 
 
-def host_init(init_fn, *args):
+def host_init(init_fn, *args, cache_key: str | None = None):
     """Run a (potentially expensive-to-compile) init function on the host
     CPU backend and transfer the result to the default device.
 
@@ -89,7 +89,20 @@ def host_init(init_fn, *args):
     cheap and ship the pytree once (measured 263 s -> 51 s for eff256 on
     the v5e tunnel). No-op placement-wise when the default backend already
     is the CPU.
+
+    ``cache_key`` additionally caches the realized pytree on disk
+    (``.jax_cache/params/<key>.pkl``) so repeat bench/dev invocations skip
+    the host-CPU compile entirely (533 s per ``bench.py`` run at the
+    flagship size on this image's single core). A cache hit is validated
+    structurally against ``jax.eval_shape`` of the same init (an abstract
+    trace — seconds, no compile); any treedef/shape/dtype drift falls back
+    to a fresh init and rewrites the entry, so a changed model definition
+    can never serve stale parameters.
     """
+    if cache_key is not None:
+        hit = _cached_init(init_fn, args, cache_key)
+        if hit is not None:
+            return hit
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
@@ -109,6 +122,63 @@ def host_init(init_fn, *args):
             os.environ.pop("SUPERDIFF_TPU_DISABLE_PALLAS", None)
         else:
             os.environ["SUPERDIFF_TPU_DISABLE_PALLAS"] = prev
+    if cache_key is not None:
+        _cache_write(out, cache_key)
     if default == cpu:
         return out
     return jax.device_put(out, default)
+
+
+def _params_cache_path(cache_key: str) -> str:
+    root = os.environ.get("SUPERDIFF_TPU_CACHE_DIR", ".jax_cache")
+    safe = "".join(c if c.isalnum() or c in "-_." else "_"
+                   for c in cache_key)
+    return os.path.join(root, "params", f"{safe}.pkl")
+
+
+def _cache_write(pytree, cache_key: str) -> None:
+    import pickle
+    import tempfile
+
+    path = _params_cache_path(cache_key)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    host = jax.tree_util.tree_map(np.asarray, pytree)
+    # atomic rename so a concurrent reader never sees a torn file
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(host, f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def _cached_init(init_fn, args, cache_key: str):
+    """Load a cached init pytree if present AND structurally identical to
+    what ``init_fn(*args)`` would produce (treedef + shapes + dtypes from
+    ``jax.eval_shape``); None otherwise."""
+    import pickle
+
+    path = _params_cache_path(cache_key)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path, "rb") as f:
+            host = pickle.load(f)
+        want = jax.eval_shape(init_fn, *args)
+        got_td = jax.tree_util.tree_structure(host)
+        want_td = jax.tree_util.tree_structure(want)
+        if got_td != want_td:
+            raise ValueError("treedef drift")
+        for g, w in zip(jax.tree_util.tree_leaves(host),
+                        jax.tree_util.tree_leaves(want)):
+            if tuple(g.shape) != tuple(w.shape) or g.dtype != w.dtype:
+                raise ValueError(
+                    f"leaf drift {g.shape}/{g.dtype} vs {w.shape}/{w.dtype}")
+    except Exception as e:  # stale/torn cache -> fresh init rewrites it
+        print(f"[host_init] params cache {path!r} invalid ({e}); "
+              "re-initializing", flush=True)
+        return None
+    return jax.device_put(host, jax.devices()[0])

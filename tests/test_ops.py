@@ -400,3 +400,39 @@ def test_packed_norm_finite_on_near_constant_input(rng):
     for pack in (False, True):
         y = groupnorm_film_silu(x, gamma, beta, G, pack=pack)
         assert np.isfinite(np.asarray(y)).all(), f"pack={pack}"
+
+
+def test_host_init_disk_cache(rng, tmp_path, monkeypatch):
+    """host_init(cache_key=...) persists the realized pytree and serves it
+    back value-identical; a structurally different init under the same key
+    is detected by the eval_shape validation and re-initialized (stale
+    caches can never leak into a changed model)."""
+    import numpy as np
+
+    from superdiff_tpu.models import CondUNet
+    from superdiff_tpu.utils.env import host_init
+
+    monkeypatch.setenv("SUPERDIFF_TPU_CACHE_DIR", str(tmp_path))
+
+    model = CondUNet(base_channels=8, channel_mults=(1, 2),
+                     num_res_blocks=1, attn_resolutions=(), num_classes=2,
+                     time_emb_dim=16, groups=4)
+    x = jnp.zeros((2, 16, 16, 1))
+    t = jnp.zeros((2,), dtype=jnp.int32)
+    y = jnp.zeros((2,), dtype=jnp.int32)
+
+    p1 = host_init(model.init, rng, x, t, y, cache_key="k")
+    assert (tmp_path / "params" / "k.pkl").exists()
+    p2 = host_init(model.init, rng, x, t, y, cache_key="k")
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # same key, different architecture -> must NOT serve the stale entry
+    wider = CondUNet(base_channels=16, channel_mults=(1, 2),
+                     num_res_blocks=1, attn_resolutions=(), num_classes=2,
+                     time_emb_dim=16, groups=4)
+    p3 = host_init(wider.init, rng, x, t, y, cache_key="k")
+    n1 = sum(a.size for a in jax.tree_util.tree_leaves(p1))
+    n3 = sum(a.size for a in jax.tree_util.tree_leaves(p3))
+    assert n3 > n1

@@ -98,6 +98,20 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
                     attn_resolutions=(32, 16),
                     up_attn_resolutions=(16,),
                     num_heads=4, pixel_shuffle=2),
+    # Round-4 width-at-128² experiment (VERDICT r3 #2): the xplane profile
+    # attributes the flagship's 52% norm-chain slice to C=64 half-filling
+    # the (8, 128) lane tiles at the 128² level. This preset answers the
+    # half-empty-lane hypothesis with CHANNEL WIDTH instead of depth or
+    # shuffle: C=128 at 128² (lane-full norm tiles), one ResBlock there to
+    # offset the 4x conv FLOPs, deep levels unchanged — 38.6 M params vs
+    # the flagship's 37.5 M. Same attention policy as attn256d. Measured
+    # verdict in BASELINE.md's round-4 width section
+    # (scripts/bench_r4_width.py).
+    "wide256": dict(base_channels=128, channel_mults=(1, 1, 1, 2, 2),
+                    num_res_blocks=(1, 2, 2, 2, 2),
+                    attn_resolutions=(32, 16),
+                    up_attn_resolutions=(16,),
+                    num_heads=4, pixel_shuffle=2),
 }
 
 # 256² default = the round-3 unified flagship: best FID of all 256²

@@ -19,6 +19,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -200,6 +201,7 @@ def main(argv=None) -> int:
         sample_fn = lambda r: jitted(r, ema)
 
     all_batches = []
+    all_logq = []
     for b in range(args.num_batches):
         rng = jax.random.PRNGKey(args.seed + b)
         tic = time.time()
@@ -207,6 +209,7 @@ def main(argv=None) -> int:
         if superpose:
             x, logq = out
             x.block_until_ready()
+            all_logq.append(np.asarray(logq))
             print(f"batch {b}: {time.time()-tic:.1f}s  "
                   f"logq1-logq2 mean "
                   f"{float(jnp.mean(logq[0]-logq[1])):.2f}")
@@ -220,6 +223,18 @@ def main(argv=None) -> int:
 
     stack = np.concatenate(all_batches)
     np.save(os.path.join(args.out, "samples.npy"), stack)
+    if all_logq:
+        # per-sample Itô log-densities (2, N) + summary — the artifact the
+        # quality ledger cites (BASELINE.md superdiff-256 rows); previously
+        # these were print-only and unrecoverable after the run
+        lq = np.concatenate(all_logq, axis=1)
+        gap = lq[0] - lq[1]
+        with open(os.path.join(args.out, "logq.json"), "w") as f:
+            json.dump({"mode": args.mode,
+                       "logq_model1": lq[0].tolist(),
+                       "logq_model2": lq[1].tolist(),
+                       "logq_gap_mean": float(gap.mean()),
+                       "logq_gap_std": float(gap.std())}, f)
     print(f"wrote {stack.shape[0]} samples to {args.out}")
     return 0
 

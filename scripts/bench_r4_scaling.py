@@ -1,0 +1,138 @@
+"""Weak-scaling table for the sharded train step and EP SuperDiff on the
+virtual CPU mesh (VERDICT r3 #8 — the one quantitative claim the
+parallelism matrix never stated).
+
+Protocol: per-device work held FIXED (batch 8/device for the train step,
+one model per 2 devices for EP SuperDiff), device count swept 1/2/4/8.
+Every point runs in a fresh subprocess with
+``--xla_force_host_platform_device_count=N`` (device count is baked at
+backend init).
+
+What "flat" can mean here: all N virtual devices share ONE physical core,
+so ideal weak scaling shows wall time ∝ N (total work grows ∝ N, compute
+is serialized onto one core). The quantity that pins sharding overhead is
+**parallel efficiency** = T(1)·N / T(N): 1.0 means the sharded program
+added zero collective/partition cost over N independent copies of the
+n=1 step. On real chips the same program's per-step wall time would be
+~T(1) + collective time, with the psum riding ICI.
+
+Run: python scripts/bench_r4_scaling.py > /tmp/r4_scaling.jsonl 2>/tmp/r4_scaling.log
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r'''
+import json, os, sys, time
+import jax, jax.numpy as jnp
+
+N = int(sys.argv[1])
+WHAT = sys.argv[2]
+
+sys.path.insert(0, %(repo)r)
+from superdiff_tpu.models import CondUNet
+from superdiff_tpu.diffusion import make_schedule
+from superdiff_tpu.parallel import make_mesh, shard_batch
+from superdiff_tpu.training import create_train_state, make_train_step
+from superdiff_tpu.data import synthetic_xray_batch
+
+assert jax.device_count() == N, (jax.device_count(), N)
+mesh = make_mesh(N)
+R = 32
+model = CondUNet(base_channels=16, channel_mults=(1, 2), num_res_blocks=1,
+                 attn_resolutions=(8,), num_heads=2, num_classes=2,
+                 time_emb_dim=32, groups=8)
+
+if WHAT == "train":
+    B = 8 * N                               # fixed 8/device
+    x = jnp.zeros((B, R, R, 1)); t = jnp.zeros((B,), jnp.int32)
+    y = jnp.zeros((B,), jnp.int32)
+    state = create_train_state(model, jax.random.PRNGKey(0), (x, t, y))
+    schedule = make_schedule(50)
+    step = make_train_step(schedule, mesh=mesh, conditional=True,
+                           cfg_drop_prob=0.1, null_label=model.null_label)
+    imgs, labels = synthetic_xray_batch(B, R)
+    batch = shard_batch({"image": jnp.asarray(imgs),
+                         "label": jnp.asarray(labels)}, mesh)
+    state, m = step(state, batch)           # compile
+    jax.block_until_ready(m["loss"])
+    reps, tic = 20, time.time()
+    for _ in range(reps):
+        state, m = step(state, batch)
+    jax.block_until_ready(m["loss"])
+    dt = (time.time() - tic) / reps
+else:                                       # EP SuperDiff (2 models)
+    # per-device denoiser evals/step fixed at 4:
+    #   N=1  sequential 2-model superdiff, batch 2 (device does both models)
+    #   N>=2 mesh (data=N/2, model=2), batch 2N (each device: one model,
+    #        4 examples)
+    from superdiff_tpu.diffusion import superdiff_sample
+    from superdiff_tpu.parallel.ep import make_ep_eps_fn
+
+    schedule = make_schedule(20)
+    B = 2 * max(N, 1)
+    x = jnp.zeros((2, R, R, 1)); t = jnp.zeros((2,), jnp.int32)
+    y0 = jnp.zeros((2,), jnp.int32)
+    params = [model.init(jax.random.PRNGKey(i), x, t, y0) for i in range(2)]
+
+    def apply_fn(p, xx, tt, yy):
+        return model.apply(p, xx, tt, yy)
+
+    shape = (B, R, R, 1)
+    yB = jnp.zeros((B,), jnp.int32)
+    if N == 1:
+        fns = [(lambda p: (lambda xx, tt: apply_fn(p, xx, tt,
+                jnp.zeros((xx.shape[0],), jnp.int32))))(p) for p in params]
+        sampler = jax.jit(lambda r: superdiff_sample(
+            schedule, fns, shape, r, mode="or"))
+    else:
+        from superdiff_tpu.parallel import make_mesh as mk
+        mesh = mk(model_parallelism=2)
+        eps_fn = make_ep_eps_fn(apply_fn, params, mesh, y=yB)
+        sampler = jax.jit(lambda r: superdiff_sample(
+            schedule, eps_fn, shape, r, mode="or", num_models=2))
+    out = sampler(jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+    reps, tic = 5, time.time()
+    for i in range(reps):
+        out = sampler(jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(out)
+    dt = (time.time() - tic) / reps
+
+print(json.dumps({"n": N, "what": WHAT, "sec_per_step": dt}))
+'''
+
+
+def run_point(n, what):
+    env = dict(os.environ,
+               SUPERDIFF_TPU_PLATFORM="cpu",
+               SUPERDIFF_TPU_CPU_DEVICES=str(n),
+               JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD % {"repo": REPO}, str(n), what],
+        capture_output=True, text=True, env=env, timeout=1800)
+    if out.returncode:
+        print(out.stderr[-2000:], file=sys.stderr)
+        raise SystemExit(f"point n={n} {what} failed")
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    return rec
+
+
+def main():
+    for what in ("train", "ep"):
+        base = None
+        for n in (1, 2, 4, 8):
+            rec = run_point(n, what)
+            if base is None:
+                base = rec["sec_per_step"]
+            rec["efficiency"] = round(base * rec["n"] / rec["sec_per_step"], 3)
+            rec["sec_per_step"] = round(rec["sec_per_step"], 4)
+            print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

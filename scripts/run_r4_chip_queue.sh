@@ -118,6 +118,20 @@ if [ ! -s artifacts/serve_256/bench.jsonl ] && [ -d "$TEACH" ]; then
     tail -8 artifacts/serve_256/bench.jsonl || true
 fi
 
+echo "========== [H-optional] min-SNR knob replication =========="
+# round-3 claimed min_snr FID 6.903 (worse than uniform) from an artifact
+# the wiped data/ tree took with it; re-land the measured claim.
+if [ "${SKIP_MINSNR:-0}" != "1" ]; then
+    train_preset TB q_attn256d_minsnr attn256d \
+        --set training.loss_weighting=min_snr
+    MS="data/outputs/TB/experiment_q256_run_q_attn256d_minsnr"
+    if [ -d "$MS" ]; then
+        eval_shared "$MS" eval_rand128.json 128
+        cp "$MS/eval_rand128.json" \
+           artifacts/quality_256/r4_512/minsnr_128.json 2>/dev/null
+    fi
+fi
+
 echo "========== [G] long-sequence flash on-chip =========="
 mkdir -p artifacts/longseq
 if [ ! -s artifacts/longseq/bench.jsonl ]; then

@@ -405,3 +405,54 @@ def test_cosine_optimizer_one_step_phase():
     g = {"w": jnp.ones((2,))}
     updates, _ = tx.update(g, state, params)
     assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_distill_cli_real_tree(tmp_path):
+    """The campaign path (scripts/run_r3_distill_campaign.sh stage 4):
+    distillation driven by --dataset-root over a real folder tree (the
+    DataModule branch of cli/distill.py, previously exercised only by
+    --synthetic). Pins that phase step counts derive from the dataset
+    iterator and the student still exports/loads/samples."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    from superdiff_tpu.cli.distill import main as distill_main
+    from superdiff_tpu.config import Config
+    from superdiff_tpu.inference import load_run
+    from superdiff_tpu.training.loop import train
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.join(str(tmp_path), "tree")
+    subprocess.run(
+        [_sys.executable,
+         os.path.join(repo, "scripts", "make_synthetic_dataset.py"),
+         "--root", root, "--resolution", "16",
+         "--train", "8", "--val", "2", "--test", "2"],
+        check=True, capture_output=True,
+        env=dict(os.environ, PYTHONPATH=repo, SUPERDIFF_TPU_PLATFORM="cpu"))
+
+    cfg = Config()
+    cfg.experiment_id, cfg.run_id = "dt", "0"
+    cfg.task = "TB"
+    cfg.paths.local_base = str(tmp_path)
+    cfg.paths.dataset_subdir = "tree"
+    cfg.training.batch_size = 4
+    cfg.training.resolution = 16
+    cfg.training.num_epochs = 1
+    cfg.training.num_timesteps = 50
+    cfg.training.vis_every = 100
+    cfg.training.eval_every = 0
+    cfg.model.base_channels = 8
+    train(cfg)
+    run = os.path.join(str(tmp_path), "outputs", "TB",
+                       "experiment_dt_run_0")
+
+    rc = distill_main(["--run-dir", run, "--dataset-root", root,
+                       "--steps", "2", "--phase-epochs", "1",
+                       "--batch-size", "4"])
+    assert rc == 0
+    sdir = os.path.join(run, "distill", "s2")
+    cfg_s, model_s, schedule_s, ema_s = load_run(sdir)
+    assert cfg_s.sampling.num_steps == 2
+    assert model_s.parameterization == "v"

@@ -437,7 +437,7 @@ def test_distill_cli_real_tree(tmp_path):
     cfg.task = "TB"
     cfg.paths.local_base = str(tmp_path)
     cfg.paths.dataset_subdir = "tree"
-    cfg.training.batch_size = 4
+    cfg.training.batch_size = 8
     cfg.training.resolution = 16
     cfg.training.num_epochs = 1
     cfg.training.num_timesteps = 50
@@ -450,7 +450,7 @@ def test_distill_cli_real_tree(tmp_path):
 
     rc = distill_main(["--run-dir", run, "--dataset-root", root,
                        "--steps", "2", "--phase-epochs", "1",
-                       "--batch-size", "4"])
+                       "--batch-size", "8"])
     assert rc == 0
     sdir = os.path.join(run, "distill", "s2")
     cfg_s, model_s, schedule_s, ema_s = load_run(sdir)

@@ -45,6 +45,40 @@ eval_shared () {  # run_dir out_name num_samples [extra args...]
         --out "$dir/$out" "$@" && { cat "$dir/$out"; echo; }
 }
 
+RN18="artifacts/extractors/resnet18_rand_seed1234.npz"
+
+eval_rn18 () {  # run_dir out_name steps num_samples [extra args...]
+    local dir="$1" out="$2" steps="$3" n="${4:-128}"; shift 4 || shift 3
+    if [ -f "$dir/$out" ]; then echo "--- skip eval $out (exists)"; return 0; fi
+    python -m superdiff_tpu.cli.evaluate --run-dir "$dir" \
+        --dataset-root "$ROOT" --num-samples "$n" --batch-size 32 \
+        --method ddim --num-steps "$steps" \
+        --extractor resnet18 --extractor-checkpoint "$RN18" \
+        --out "$dir/$out" "$@" && { cat "$dir/$out"; echo; }
+}
+
+echo "========== [A0] conv-feature FID cross-check of the distill ladder =========="
+# The linear random-projection FID scored the distilled students 0.15 vs
+# the teacher's 6.58 — it reads pixel-moment closeness and is blind to the
+# detail the teacher adds. Re-score the ladder under the seeded random-init
+# ResNet18 (hierarchical conv features; artifacts/extractors/).
+mkdir -p artifacts/distill_256
+if [ -d "$TEACH" ]; then
+    eval_rn18 "$TEACH" eval_teacher_rn18_ddim100.json 100 128
+    cp "$TEACH/eval_teacher_rn18_ddim100.json" artifacts/distill_256/ 2>/dev/null
+    for N in 8 4 2 1; do
+        SDIR="$TEACH/distill/s$N"
+        [ -d "$SDIR" ] || continue
+        eval_rn18 "$SDIR" "eval_rn18_ddim$N.json" "$N" 128
+        eval_rn18 "$TEACH" "eval_teacher_rn18_ddim${N}_trailing.json" "$N" 128 \
+            --spacing trailing
+        cp "$SDIR/eval_rn18_ddim$N.json" \
+           "artifacts/distill_256/eval_rn18_s$N.json" 2>/dev/null
+        cp "$TEACH/eval_teacher_rn18_ddim${N}_trailing.json" \
+           artifacts/distill_256/ 2>/dev/null
+    done
+fi
+
 echo "========== [A] width-at-128^2 throughput A/B =========="
 mkdir -p artifacts/width_256
 if [ ! -s artifacts/width_256/bench.jsonl ]; then
@@ -69,8 +103,10 @@ for pair in "q_attn256d_r3c:$TEACH" \
     [ -d "$dir" ] || { echo "--- no $dir, skip"; continue; }
     eval_shared "$dir" eval_rand128.json 128
     eval_shared "$dir" eval_rand512.json 512
+    eval_rn18  "$dir" eval_rn18_512.json 100 512
     cp "$dir/eval_rand128.json" "artifacts/quality_256/r4_512/${run}_128.json" 2>/dev/null
     cp "$dir/eval_rand512.json" "artifacts/quality_256/r4_512/${run}_512.json" 2>/dev/null
+    cp "$dir/eval_rn18_512.json" "artifacts/quality_256/r4_512/${run}_rn18_512.json" 2>/dev/null
 done
 
 echo "========== [D] PNEU companion + superdiff-256 =========="

@@ -4,12 +4,13 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
 
 - "value": samples/sec/chip for full 1000-step DDPM ancestral sampling of
-  256×256 grayscale images with the flagship CondUNet (attn256d preset —
-  space-to-depth stem + 32² flash attention in the down path + mid, see
-  models/presets.py; the round-3 unified flagship: best measured FID of
-  every 256² preset under the shared fixed extractor AND >=1.5
-  samples/sec, BASELINE.md quality A/B), measured on the default JAX
-  backend (the real TPU chip under the driver).
+  256×256 grayscale images with the flagship CondUNet (wide256 preset —
+  space-to-depth stem, C=128 lane-full 128² level, 32² flash attention in
+  the down path + mid, see models/presets.py; the round-4 flagship: best
+  measured FID of every 256² preset under BOTH shared extractors at 512
+  samples AND the fastest non-slimmed sampler, 70% MFU — BASELINE.md
+  round-4 width section), measured on the default JAX backend (the real
+  TPU chip under the driver).
 - "vs_baseline": speedup vs the reference stack's achievable number — the
   reference publishes no benchmarks (SURVEY.md §6, BASELINE.md), so the
   baseline is *measured here*: its tiny 5-block CNN (the architecture of
@@ -32,7 +33,7 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 RES = 256
 BATCH = 16    # flat samples/sec from B=8 up; 16 is the sweet spot measured
 T = 1000
-PRESET = "attn256d"
+PRESET = "wide256"
 
 
 def log(msg):

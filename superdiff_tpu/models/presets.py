@@ -98,15 +98,17 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
                     attn_resolutions=(32, 16),
                     up_attn_resolutions=(16,),
                     num_heads=4, pixel_shuffle=2),
-    # Round-4 width-at-128² experiment (VERDICT r3 #2): the xplane profile
-    # attributes the flagship's 52% norm-chain slice to C=64 half-filling
-    # the (8, 128) lane tiles at the 128² level. This preset answers the
-    # half-empty-lane hypothesis with CHANNEL WIDTH instead of depth or
-    # shuffle: C=128 at 128² (lane-full norm tiles), one ResBlock there to
-    # offset the 4x conv FLOPs, deep levels unchanged — 38.6 M params vs
-    # the flagship's 37.5 M. Same attention policy as attn256d. Measured
-    # verdict in BASELINE.md's round-4 width section
-    # (scripts/bench_r4_width.py).
+    # THE 256² FLAGSHIP (round 4). The round-3 xplane profile attributed
+    # attn256d's 52% norm-chain slice to C=64 half-filling the (8, 128)
+    # lane tiles at the 128² level; this preset answers with CHANNEL
+    # WIDTH: C=128 at 128² (lane-full norm tiles), one ResBlock there to
+    # offset the 4x conv FLOPs, deep levels unchanged — 38.6 M params,
+    # attn256d's attention policy. Measured (BASELINE.md round 4,
+    # scripts/bench_r4_width.py): runs 47% MORE FLOPs 4.6% FASTER than
+    # attn256d (1.768 vs 1.690 samples/sec DDPM-1000, MFU 45.6% -> 70.2%)
+    # AND wins quality decisively under both shared extractors at 512
+    # samples (proj-FID 5.67 vs 6.14, conv-FID 7645 vs 11675, 120ep TB
+    # protocol) — more capacity at the indicted level, faster execution.
     "wide256": dict(base_channels=128, channel_mults=(1, 1, 1, 2, 2),
                     num_res_blocks=(1, 2, 2, 2, 2),
                     attn_resolutions=(32, 16),
@@ -114,11 +116,13 @@ _PRESETS: Dict[str, Dict[str, Any]] = {
                     num_heads=4, pixel_shuffle=2),
 }
 
-# 256² default = the round-3 unified flagship: best FID of all 256²
-# presets under the shared fixed extractor (6.537 vs attn256 6.551 /
-# eff256 6.802) at 1.689 samples/sec DDPM-1000 (BASELINE.md). eff256
-# (1.853) and fast256 (3.8+) remain the pure-throughput points.
-RESOLUTION_TO_PRESET = {64: "small64", 128: "base128", 256: "attn256d"}
+# 256² default = the round-4 flagship wide256: best FID of all measured
+# 256² presets under BOTH shared extractors at 512 samples (proj 5.67 /
+# conv 7645 vs attn256d's 6.14 / 11675) AND faster (1.768 vs 1.690
+# samples/sec DDPM-1000, 70% MFU — BASELINE.md round-4 width section).
+# eff256 (1.853) and fast256 (3.8+) remain the pure-throughput points;
+# attn256d stays the round-3 flagship for trained-artifact rebuilds.
+RESOLUTION_TO_PRESET = {64: "small64", 128: "base128", 256: "wide256"}
 
 
 def build_model(preset: str = "small64",

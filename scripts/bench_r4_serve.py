@@ -69,7 +69,7 @@ def bench_point(method, steps, extra=None):
         tic = time.time()
         out = post("/sample", payload)
         lats.append(time.time() - tic)
-        assert len(out["images"]) == NUM
+        assert out["num"] == NUM and out["data"]
     lats.sort()
     p50 = lats[len(lats) // 2]
     p95 = lats[min(len(lats) - 1, int(len(lats) * 0.95))]

@@ -1,7 +1,10 @@
 """Blockwise (flash) self-attention Pallas kernel for TPU.
 
 Why: at 256x256 the CondUNet's flattened attention sequence is 65 536 tokens;
-an S x S score matrix (65k² f32 = 17 GB) can never exist. The classic online-
+an S x S score matrix (65k² f32 per head) can never exist - measured,
+not prose: S=65 536 forward executes at 77 ms/apply (29% MFU) on one
+v5e chip and the kernel beats XLA 2.1-2.2x at S=16 384 fwd/fwd+bwd
+(BASELINE.md round-4 long-sequence ledger). The classic online-
 softmax formulation (Dao et al.) streams K/V blocks through VMEM while
 carrying running (max, sum, accumulator) statistics, so HBM traffic is
 O(S·D) instead of O(S²).

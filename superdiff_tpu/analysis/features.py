@@ -99,8 +99,12 @@ class FeatureExtractor:
             self._params = None  # lazily init per input shape
             self._seed = seed
         elif kind == "classifier":
+            if params is None and checkpoint is not None:
+                model, params = load_classifier(checkpoint)
             if model is None or params is None:
-                raise ValueError("classifier backend needs model + params")
+                raise ValueError(
+                    "classifier backend needs model + params, or "
+                    "checkpoint= (an .npz saved by save_classifier)")
             self._model, self._params = model, params
         elif kind == "diffusion":
             if model is None or params is None or schedule is None:
@@ -186,6 +190,46 @@ class FeatureExtractor:
         if self._jitted is None:
             self._jitted = self._build_fn(images)
         return np.asarray(self._jitted(images))
+
+
+def save_classifier(path: str, params, widths: Tuple[int, ...],
+                    num_classes: int, meta: Optional[dict] = None) -> None:
+    """Persist a trained ``SmallCNN`` as a flat ``.npz`` (no pickle).
+
+    The archive holds one array per parameter leaf (keys are
+    '/'-joined param paths) plus a ``__meta__`` JSON string with the
+    architecture (``widths``, ``num_classes``) and any caller metadata
+    (training accuracy, seed, data root) so a loaded extractor is fully
+    self-describing — the trained analogue of the reference's
+    downloaded-checkpoint extractors (``src/models/feature_extractor.py``).
+    """
+    import json
+
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params, sep="/")
+    arrays = {k: np.asarray(v) for k, v in flat.items()}
+    info = {"widths": list(widths), "num_classes": int(num_classes)}
+    info.update(meta or {})
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(info).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_classifier(path: str):
+    """Load a ``save_classifier`` archive -> ``(SmallCNN, params)``."""
+    import json
+
+    from flax import traverse_util
+
+    with np.load(path) as data:
+        arrays = {k: data[k] for k in data.files}
+    info = json.loads(bytes(arrays.pop("__meta__").tobytes()).decode())
+    params = traverse_util.unflatten_dict(
+        {k: jnp.asarray(v) for k, v in arrays.items()}, sep="/")
+    model = SmallCNN(num_classes=int(info["num_classes"]),
+                     widths=tuple(info["widths"]))
+    return model, params
 
 
 def _make_hf_vision_fn(checkpoint_dir: str):

@@ -44,17 +44,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "sampling.t_spacing (distilled students need "
                         "trailing)")
     p.add_argument("--extractor",
-                   choices=["diffusion", "random", "resnet18",
-                            "densenet121", "hf"],
+                   choices=["diffusion", "random", "classifier",
+                            "resnet18", "densenet121", "hf"],
                    default="diffusion",
                    help="feature space for FID. 'diffusion' uses this "
                         "run's own bottleneck (not comparable across "
                         "runs); 'random' is a fixed seeded projection; "
+                        "'classifier' loads a TRAINED in-framework "
+                        "SmallCNN (save_classifier .npz) — the learned "
+                        "feature space of record; "
                         "resnet18/densenet121/hf load a local checkpoint "
                         "(--extractor-checkpoint) shared across runs")
     p.add_argument("--extractor-checkpoint", default=None,
                    help="local checkpoint path/dir for "
-                        "resnet18/densenet121/hf extractors")
+                        "classifier/resnet18/densenet121/hf extractors")
     p.add_argument("--guidance", type=float, default=1.0,
                    help="classifier-free guidance scale; values != 1 "
                         "sample class-conditionally (implies "

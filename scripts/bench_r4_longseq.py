@@ -91,8 +91,12 @@ def run_point(tag, S, mode, path, reps):
 
     mm_flops = 4.0 * S * S * D * H          # QK^T + PV, B=1
     if mode == "fwdbwd":
-        mm_flops *= 2.5                     # dQ,dK,dV recomputation pair
+        # standard flash-with-recompute accounting (ADVICE r4): fwd 2
+        # matmuls + bwd 4 (dQ, dK, dV, dS) + score recompute = 3.5x the
+        # forward matmul FLOPs. flash-vs-XLA ratios are factor-invariant.
+        mm_flops *= 3.5
     rec = {"point": tag, "S": S, "mode": mode, "path": path, "ok": True,
+           "flop_factor": 3.5 if mode == "fwdbwd" else 1.0,
            "reps_chained": reps, "ms_per_apply": round(ms, 2),
            "achieved_tflops": round(mm_flops / (ms / 1e3) / 1e12, 1),
            "flash_stream_mb": round(4 * S * H * D * 2 / 2**20, 1),

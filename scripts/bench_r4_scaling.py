@@ -47,14 +47,35 @@ model = CondUNet(base_channels=16, channel_mults=(1, 2), num_res_blocks=1,
                  attn_resolutions=(8,), num_heads=2, num_classes=2,
                  time_emb_dim=32, groups=8)
 
-if WHAT == "train":
-    B = 8 * N                               # fixed 8/device
+if WHAT in ("train", "fsdp", "tp"):
+    schedule = make_schedule(50)
+    if WHAT == "tp":
+        # strong scaling of the model axis: GLOBAL batch fixed, every
+        # ResBlock conv pair column/row-sharded over model=N (N=1 -> the
+        # plain unsharded step). Total work is ~constant, so on one core
+        # ideal is T(N) = T(1); efficiency = T(1)/T(N) isolates the
+        # partition/collective cost GSPMD inserts.
+        B = 16
+        mesh = make_mesh(model_parallelism=N) if N > 1 else mesh
+    else:
+        B = 8 * N                           # weak: fixed 8/device
     x = jnp.zeros((B, R, R, 1)); t = jnp.zeros((B,), jnp.int32)
     y = jnp.zeros((B,), jnp.int32)
     state = create_train_state(model, jax.random.PRNGKey(0), (x, t, y))
-    schedule = make_schedule(50)
+    kw = {}
+    if WHAT == "fsdp" and N > 1:
+        # ZeRO-3: TrainState sharded 1/N over the data axis (per-use
+        # weight all-gathers + gradient reduce-scatters)
+        from superdiff_tpu.parallel import fsdp
+        kw["state_shardings"] = fsdp.state_shardings(state, mesh)
+        state = fsdp.shard_state(state, mesh)
+    elif WHAT == "tp" and N > 1:
+        from superdiff_tpu.parallel import shard_state, state_shardings
+        kw["state_shardings"] = state_shardings(state, mesh)
+        state = shard_state(state, mesh)
     step = make_train_step(schedule, mesh=mesh, conditional=True,
-                           cfg_drop_prob=0.1, null_label=model.null_label)
+                           cfg_drop_prob=0.1, null_label=model.null_label,
+                           **kw)
     imgs, labels = synthetic_xray_batch(B, R)
     batch = shard_batch({"image": jnp.asarray(imgs),
                          "label": jnp.asarray(labels)}, mesh)
@@ -123,13 +144,19 @@ def run_point(n, what):
 
 
 def main():
-    for what in ("train", "ep"):
+    # train/fsdp/ep hold per-device work fixed (weak scaling: ideal
+    # T(N)=N*T(1) on the serialized core, efficiency = T(1)*N/T(N));
+    # tp holds GLOBAL work fixed (strong scaling of the model axis:
+    # ideal T(N)=T(1), efficiency = T(1)/T(N)).
+    for what in ("train", "fsdp", "tp", "ep"):
         base = None
         for n in (1, 2, 4, 8):
             rec = run_point(n, what)
             if base is None:
                 base = rec["sec_per_step"]
-            rec["efficiency"] = round(base * rec["n"] / rec["sec_per_step"], 3)
+            scale = 1 if what == "tp" else rec["n"]
+            rec["mode"] = "strong" if what == "tp" else "weak"
+            rec["efficiency"] = round(base * scale / rec["sec_per_step"], 3)
             rec["sec_per_step"] = round(rec["sec_per_step"], 4)
             print(json.dumps(rec), flush=True)
 

@@ -36,6 +36,44 @@ TB_SLIM="data/outputs/TB/experiment_q256_run_q_slim256_tb"
 TB_FATTN="data/outputs/TB/experiment_q256_run_q_fastattn256_tb"
 TB_MINSNR="data/outputs/TB/experiment_q256_run_q_attn256d_minsnr"
 
+# run_retry SECS cmd...  — the axon backend init hangs forever ~sometimes
+# (observed twice this round: process parked on a futex before the first
+# program even compiles, while fresh processes connect instantly). A
+# bounded timeout + retry converts that failure mode into a few lost
+# minutes instead of a lost queue.
+run_retry () {
+    local secs="$1"; shift
+    local try
+    for try in 1 2 3 4 5; do
+        timeout --kill-after=20 "$secs" "$@" &
+        local tpid=$!
+        # init-hang detector: a wedged-tunnel process parks on a futex
+        # with ~zero CPU forever. Any legitimate leg (tracing, data
+        # decode) burns >0.5s of CPU well inside 6 min; if the child has
+        # accrued <50 ticks by then it will never recover — kill early
+        # instead of burning the full leg timeout.
+        (
+            sleep 360
+            local cpid ticks
+            cpid=$(ps --ppid "$tpid" -o pid= | head -1 | tr -d ' ')
+            [ -n "$cpid" ] || exit 0
+            ticks=$(awk '{print $14 + $15}' "/proc/$cpid/stat" 2>/dev/null)
+            if [ -n "$ticks" ] && [ "$ticks" -lt 50 ]; then
+                echo "!!! init-hang detected (utime+stime=$ticks), killing $cpid" >&2
+                kill "$cpid" 2>/dev/null; sleep 5; kill -9 "$cpid" 2>/dev/null
+            fi
+        ) &
+        local wpid=$!
+        wait "$tpid"; local rc=$?
+        kill "$wpid" 2>/dev/null
+        [ "$rc" -eq 0 ] && return 0
+        echo "!!! attempt $try failed (rc=$rc): $*" >&2
+        sleep 15
+    done
+    echo "!!! giving up after 5 attempts: $*" >&2
+    return 1
+}
+
 # eval_one RUN_DIR OUT EXTRACTOR NSAMP ARTCOPY extra-args...
 eval_one () {
     local dir="$1" out="$2" ex="$3" n="$4" artcopy="$5"; shift 5
@@ -44,7 +82,8 @@ eval_one () {
     [ "$ex" = resnet18 ] && extra=(--extractor-checkpoint "$RN18")
     [ "$ex" = classifier ] && extra=(--extractor-checkpoint "$CNN")
     echo "=== eval $out ($ex, n=$n) ==="
-    python -m superdiff_tpu.cli.evaluate --run-dir "$dir" \
+    run_retry 2400 \
+        python -m superdiff_tpu.cli.evaluate --run-dir "$dir" \
         --dataset-root "$ROOT" --num-samples "$n" --batch-size 32 \
         --extractor "$ex" "${extra[@]}" --out "$out" "$@" \
         && { cat "$out"; echo; }
@@ -54,14 +93,15 @@ eval_one () {
 
 echo "========== [1] trained extractor =========="
 if [ ! -f "$CNN" ]; then
-    python scripts/train_extractor.py --dataset-root "$ROOT" --out "$CNN"
+    run_retry 3000 python scripts/train_extractor.py \
+        --dataset-root "$ROOT" --out "$CNN"
 fi
 [ -f "$CNN" ] || { echo "FATAL: extractor training failed"; exit 1; }
 
 echo "========== [2] wide-deep quality leg =========="
 WD="data/outputs/TB/experiment_q256_run_q_widedeep_tb"
 if [ ! -f "$WD/config.yaml" ]; then
-    python -m superdiff_tpu.cli.train --dataset TB \
+    run_retry 7200 python -m superdiff_tpu.cli.train --dataset TB \
         --experiment-id q256 --run-id q_widedeep_tb \
         --dataset-root "$ROOT" \
         --set model.preset=wide256 \
@@ -129,7 +169,7 @@ eval_one "$TB_MINSNR" "$TB_MINSNR/eval_cnn128.json" classifier 128 \
 echo "========== [7] PNEU wide256 companion =========="
 PW="data/outputs/PNEUMONIA/experiment_q256_run_q_wide256_pneu"
 if [ ! -f "$PW/config.yaml" ]; then
-    python -m superdiff_tpu.cli.train --dataset PNEUMONIA \
+    run_retry 7200 python -m superdiff_tpu.cli.train --dataset PNEUMONIA \
         --experiment-id q256 --run-id q_wide256_pneu \
         --dataset-root "$ROOT" \
         --set model.preset=wide256 \

@@ -93,13 +93,21 @@ def host_init(init_fn, *args, cache_key: str | None = None):
     ``cache_key`` additionally caches the realized pytree on disk
     (``.jax_cache/params/<key>.pkl``) so repeat bench/dev invocations skip
     the host-CPU compile entirely (533 s per ``bench.py`` run at the
-    flagship size on this image's single core). A cache hit is validated
-    structurally against ``jax.eval_shape`` of the same init (an abstract
-    trace — seconds, no compile); any treedef/shape/dtype drift falls back
-    to a fresh init and rewrites the entry, so a changed model definition
-    can never serve stale parameters.
+    flagship size on this image's single core). The effective key folds in
+    a content digest of ``args`` (PRNG key values, array inputs), so the
+    same ``cache_key`` with a different seed misses rather than serving
+    another seed's values; a hit is then validated structurally against
+    ``jax.eval_shape`` of the same init (an abstract trace — seconds, no
+    compile), catching treedef/shape/dtype drift. What this can NOT catch
+    is a changed initializer *scheme* behind an identical key, args and
+    structure (e.g. switching he_normal -> lecun_normal inside the model):
+    bump ``cache_key`` when changing init distributions, or delete
+    ``.jax_cache/params/``. Placement: a hit is committed to
+    ``jax.devices()[0]``; a miss returns the fresh pytree committed to the
+    same device (or uncommitted CPU arrays when CPU *is* the default).
     """
     if cache_key is not None:
+        cache_key = f"{cache_key}-{_args_digest(args)}"
         hit = _cached_init(init_fn, args, cache_key)
         if hit is not None:
             return hit
@@ -127,6 +135,23 @@ def host_init(init_fn, *args, cache_key: str | None = None):
     if default == cpu:
         return out
     return jax.device_put(out, default)
+
+
+def _args_digest(args) -> str:
+    """Short content hash of init args (ADVICE r4): array leaves hash by
+    value bytes (a PRNG key IS its values), everything else by repr."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(args):
+        if hasattr(leaf, "dtype"):
+            arr = np.asarray(jax.device_get(leaf))
+            h.update(str(arr.dtype).encode())
+            h.update(str(arr.shape).encode())
+            h.update(arr.tobytes())
+        else:
+            h.update(repr(leaf).encode())
+    return h.hexdigest()[:12]
 
 
 def _params_cache_path(cache_key: str) -> str:

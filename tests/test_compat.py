@@ -10,6 +10,7 @@ torch module with the reference's exact state_dict key layout
 
 import math
 import os
+import re
 
 import jax
 import jax.numpy as jnp
@@ -226,8 +227,13 @@ def test_trained_oracle_import_e2e(tmp_path):
              "--base-channels", "8", "--steps", "30", "--batch", "4",
              "--num-timesteps", "50", "--out", odir],
             check=True, env=env, capture_output=True, text=True)
-        # the recipe must actually learn: eps-MSE starts ~1.0 on unit noise
-        assert "loss" in r.stdout
+        # the recipe must actually learn: eps-MSE starts ~1.0 on unit
+        # noise, so the printed final loss must come down from there
+        # (ADVICE r4: a substring check passed even on divergence)
+        m = re.search(r"final loss ([0-9.]+)", r.stdout)
+        assert m, r.stdout[-500:]
+        final_loss = float(m.group(1))
+        assert np.isfinite(final_loss) and final_loss < 0.9, final_loss
 
         from superdiff_tpu.cli.import_torch import main as import_main
         imp = os.path.join(str(tmp_path), f"imported_{task}")

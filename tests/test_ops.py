@@ -422,11 +422,24 @@ def test_host_init_disk_cache(rng, tmp_path, monkeypatch):
     y = jnp.zeros((2,), dtype=jnp.int32)
 
     p1 = host_init(model.init, rng, x, t, y, cache_key="k")
-    assert (tmp_path / "params" / "k.pkl").exists()
+    # the on-disk key folds in a content digest of the init args
+    # (ADVICE r4: same cache_key + different PRNG seed must miss)
+    entries = list((tmp_path / "params").glob("k-*.pkl"))
+    assert len(entries) == 1, entries
     p2 = host_init(model.init, rng, x, t, y, cache_key="k")
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # same key, different seed -> value-level miss (a second entry), not
+    # a stale hit of the first seed's values
+    rng2 = jax.random.PRNGKey(1234)
+    p2b = host_init(model.init, rng2, x, t, y, cache_key="k")
+    assert len(list((tmp_path / "params").glob("k-*.pkl"))) == 2
+    l1 = jax.tree_util.tree_leaves(p1)
+    l2b = jax.tree_util.tree_leaves(p2b)
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(l1, l2b))
 
     # same key, different architecture -> must NOT serve the stale entry
     wider = CondUNet(base_channels=16, channel_mults=(1, 2),

@@ -123,7 +123,14 @@ def main():
 
     log(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
 
-    for preset, batches in (("eff256", (32, 64)), ("attn256d", (32,))):
+    # presets via env (round 5 re-bases the ledger on the settled
+    # flagship: PRESETS=wide256 adds the missing wide256 rows)
+    spec = os.environ.get("PRESETS", "eff256:32:64,attn256d:32")
+    plan = []
+    for entry in spec.split(","):
+        parts = entry.split(":")
+        plan.append((parts[0], tuple(int(b) for b in parts[1:]) or (32,)))
+    for preset, batches in plan:
         for nd_tag, nd in (("f32n", jnp.float32), ("bf16n", jnp.bfloat16)):
             model = build_model(preset, num_classes=2, norm_dtype=nd)
             for batch in batches:
@@ -138,7 +145,7 @@ def main():
                           flush=True)
                     log(f"[{preset}-{nd_tag}-b{batch}] FAILED: {e}")
 
-    grad_agreement("eff256")
+    grad_agreement(os.environ.get("GRAD_PRESET", "eff256"))
 
 
 if __name__ == "__main__":

@@ -40,6 +40,8 @@ NUM = int(os.environ.get("NUM", "4"))            # images per request
 N_REQ = int(os.environ.get("N_REQ", "8"))        # timed requests per point
 CONCURRENCIES = [int(c) for c in
                  os.environ.get("CONCURRENCIES", "1,4,16").split(",")]
+FORMAT = os.environ.get("FORMAT", "png")         # png | npy (VERDICT r4 #5)
+SPECS = os.environ.get("SPECS", "dpmpp-10,ddpm-1000,superdiff-1000").split(",")
 
 
 def log(msg):
@@ -56,7 +58,8 @@ def post(path, payload, timeout=900):
 
 
 def bench_point(method, steps, extra=None):
-    payload = {"num": NUM, "method": method, "steps": steps}
+    payload = {"num": NUM, "method": method, "steps": steps,
+               "format": FORMAT}
     payload.update(extra or {})
 
     tic = time.time()
@@ -94,6 +97,7 @@ def bench_point(method, steps, extra=None):
         agg = done["n"] / (time.time() - tic)
 
         rec = {"method": method, "steps": steps, "num_per_request": NUM,
+               "format": FORMAT,
                "device_batch": BATCH, "concurrency": conc,
                "cold_start_s": round(cold, 1),
                "latency_p50_s": round(p50, 3),
@@ -124,9 +128,11 @@ def main():
     log(f"service up on :{PORT} (batch {BATCH}) "
         f"in {time.time()-tic:.1f}s after checkpoint load")
 
-    bench_point("dpmpp", 10)
-    bench_point("ddpm", 1000)
-    if RUN_DIR2:
+    if "dpmpp-10" in SPECS:
+        bench_point("dpmpp", 10)
+    if "ddpm-1000" in SPECS:
+        bench_point("ddpm", 1000)
+    if RUN_DIR2 and "superdiff-1000" in SPECS:
         bench_point("superdiff", 1000, {"mode": "or"})
 
     log(f"service stats: {svc.stats}")

@@ -25,8 +25,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", default=None, help="YAML config path")
     p.add_argument("--experiment-id", "--experiment_id", dest="experiment_id")
     p.add_argument("--run-id", "--run_id", dest="run_id")
-    p.add_argument("--dataset", choices=["TB", "PNEUMONIA"])
-    p.add_argument("--task", choices=["TB", "PNEUMONIA"])
+    # TB|PNEUMONIA is the reference surface (src/train.py:20); any other
+    # value selects a same-layout task tree under the dataset root (e.g.
+    # a generated SUPERPOSED tree for superposition distillation) — the
+    # dataset index errors out at startup when the tree doesn't exist.
+    p.add_argument("--dataset")
+    p.add_argument("--task")
     p.add_argument("--use-wandb", "--use_wandb", dest="use_wandb",
                    default=None)
     p.add_argument("--use-tensorboard", "--use_tensorboard",

@@ -610,3 +610,43 @@ def test_plotly3d_gated_or_writes_html(tmp_path):
     text = open(out).read()
     assert "data:image/png;base64," in text and "Scatter3d" in text.replace(
         "scatter3d", "Scatter3d")
+
+
+def test_trained_classifier_save_load_extract(tmp_path):
+    """save_classifier/load_classifier round-trip (the metric-of-record
+    extractor, VERDICT r4 #2): a trained SmallCNN persists as a flat npz
+    with self-describing meta, reloads into an identical apply, and
+    serves as a FeatureExtractor('classifier', checkpoint=...) whose
+    features feed compute_fid."""
+    import jax
+
+    from superdiff_tpu.analysis import FeatureExtractor, compute_fid
+    from superdiff_tpu.analysis.features import (SmallCNN, load_classifier,
+                                                 save_classifier)
+
+    model = SmallCNN(num_classes=3, widths=(8, 16))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    path = str(tmp_path / "clf.npz")
+    save_classifier(path, jax.device_get(params), (8, 16), 3,
+                    meta={"val_acc": 0.91})
+    m2, p2 = load_classifier(path)
+    assert m2.widths == (8, 16) and m2.num_classes == 3
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 32, 32, 1)),
+                    jnp.float32)
+    np.testing.assert_allclose(np.asarray(model.apply(params, x)),
+                               np.asarray(m2.apply(p2, x)), atol=1e-6)
+
+    ex = FeatureExtractor("classifier", checkpoint=path)
+    feats = ex.extract(x)
+    assert feats.shape == (4, 16) and np.isfinite(feats).all()
+    real = [{"image": x, "label": np.zeros(4, np.int32)}]
+    gen = [{"image": x + 0.01, "label": np.zeros(4, np.int32)}]
+    fid = compute_fid(ex, real, gen, max_samples=4)
+    assert np.isfinite(fid)
+
+
+def test_classifier_extractor_requires_source():
+    from superdiff_tpu.analysis import FeatureExtractor
+
+    with pytest.raises(ValueError, match="classifier backend"):
+        FeatureExtractor("classifier")

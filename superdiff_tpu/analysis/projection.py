@@ -156,10 +156,19 @@ def compare_tsne_umap_thumbnails(features, labels, images,
 def run_projection_3d(features, labels, method: str = "tsne",
                       path: str = "projection3d.png",
                       class_names: Optional[Sequence[str]] = None,
-                      interactive_html: Optional[str] = None) -> str:
+                      interactive_html: Optional[str] = None,
+                      animate_path: Optional[str] = None,
+                      animate_frames: int = 36) -> str:
     """3D projection scatter (``tsne.py:189-239``); optionally also writes
     an interactive HTML via plotly when available (the reference's
-    ``plotly.py:29-94`` capability, gated on the optional dep)."""
+    ``plotly.py:29-94`` capability, gated on the optional dep).
+
+    ``animate_path``: also render the camera-rotation animation the
+    reference sketched but left commented out
+    (``src/visualization/projection.py:75-87``): a full azimuth sweep at
+    fixed elevation, saved as GIF via PillowWriter (no ffmpeg needed —
+    this image, like most TPU pods, ships none; the reference's dead code
+    assumed FFMpegWriter). ``animate_frames`` controls smoothness/size."""
     emb = _project(features, method, 3)
     plt = _mpl()
     fig = plt.figure(figsize=(7, 6))
@@ -168,6 +177,20 @@ def run_projection_3d(features, labels, method: str = "tsne",
     ax.set_title(f"{method} 3D")
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fig.savefig(path, dpi=100)
+    if animate_path:
+        from matplotlib import animation
+
+        def _update(angle):
+            ax.view_init(elev=20, azim=float(angle))
+            return (fig,)
+
+        ani = animation.FuncAnimation(
+            fig, _update, frames=np.linspace(0, 360, animate_frames,
+                                             endpoint=False),
+            interval=50, blit=False)
+        os.makedirs(os.path.dirname(animate_path) or ".", exist_ok=True)
+        ani.save(animate_path, writer=animation.PillowWriter(fps=15),
+                 dpi=80)
     plt.close(fig)
     if interactive_html:
         try:

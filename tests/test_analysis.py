@@ -123,9 +123,16 @@ def test_projection_thumbnails_and_compare(tmp_path):
     p2 = compare_tsne_umap_thumbnails(
         feats, labels, imgs, str(tmp_path / "cmp.png"))
     p3 = run_projection_3d(feats, labels, "pca",
-                           str(tmp_path / "p3d.png"))
-    for p in (p1, p2, p3):
+                           str(tmp_path / "p3d.png"),
+                           animate_path=str(tmp_path / "p3d.gif"),
+                           animate_frames=4)
+    for p in (p1, p2, p3, str(tmp_path / "p3d.gif")):
         assert os.path.exists(p) and os.path.getsize(p) > 0
+    # the rotation sweep must be a real multi-frame GIF (the reference's
+    # commented-out animation, src/visualization/projection.py:75-87)
+    from PIL import Image
+    with Image.open(tmp_path / "p3d.gif") as gif:
+        assert gif.format == "GIF" and getattr(gif, "n_frames", 1) >= 4
 
 
 # --------------------------------------------------------------- gradcam ---

@@ -119,13 +119,23 @@ VARIANTS = [
                        num_res_blocks=(2, 2, 2, 2, 2))),
     ("wide-slim", dict(base_channels=128, channel_mults=(1, 1, 1, 2, 2),
                        num_res_blocks=(1, 1, 2, 2, 2))),
+    # round-5 stretch (VERDICT r4 #8): the flagship with FULL-IMAGE-scale
+    # attention at the 64-per-side level (S=4096 — the regime where the
+    # Pallas bwd measured 2x XLA); only the flash kernel makes this
+    # trainable/sampleable at production batch
+    ("wide-attn64", dict(base_channels=128, channel_mults=(1, 1, 1, 2, 2),
+                         num_res_blocks=(1, 2, 2, 2, 2),
+                         attn_resolutions=(64, 32, 16))),
 ]
 
 
 def main():
     import jax
+    only = os.environ.get("ONLY")
+    variants = [(t, o) for t, o in VARIANTS
+                if only is None or t in only.split(",")]
     log(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
-    preps = [prepare(tag, **over) for tag, over in VARIANTS]
+    preps = [prepare(tag, **over) for tag, over in variants]
     for prep in preps:
         measure(prep)
 

@@ -1,0 +1,72 @@
+#!/usr/bin/env bash
+# Round-5 stretch (VERDICT r4 #8): put long-seq attention in a product
+# path. Trains the flagship with attention ALSO at the 64-per-side level
+# (S=4096 — the Pallas-bwd 2x regime; at production batch the XLA path's
+# materialized score matrices are prohibitive) under the 120ep quality
+# protocol, then reports FID (all three shared extractors) + DDPM-1000
+# throughput — either a quality win only the flash bwd makes affordable,
+# or a measured close-out of SURVEY §5.7's open question.
+#
+# Usage: nohup bash scripts/run_r5_stretch.sh > /tmp/r5_stretch.log 2>&1 &
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+ROOT="data/chest_xray"
+CNN="artifacts/extractors/smallcnn_trained_256.npz"
+RN18="artifacts/extractors/resnet18_rand_seed1234.npz"
+ART="artifacts/quality_256/r5"
+mkdir -p "$ART"
+
+run_retry () {
+    local secs="$1"; shift
+    local try
+    for try in 1 2 3; do
+        timeout --kill-after=20 "$secs" "$@" && return 0
+        echo "!!! attempt $try failed/timed out: $*" >&2
+        sleep 15
+    done
+    return 1
+}
+
+WA="data/outputs/TB/experiment_q256_run_q_wideattn64_tb"
+if [ ! -f "$WA/config.yaml" ]; then
+    run_retry 10800 python -m superdiff_tpu.cli.train --dataset TB \
+        --experiment-id q256 --run-id q_wideattn64_tb \
+        --dataset-root "$ROOT" \
+        --set model.preset=wide256 \
+        --set model.attn_resolutions=64,32,16 \
+        --set training.resolution=256 \
+        --set training.batch_size=32 \
+        --set training.num_epochs=120 \
+        --set training.lr_schedule=cosine \
+        --set training.warmup_steps=100 \
+        --set training.vis_every=60 \
+        --set training.save_every=60 \
+        --set training.keep_checkpoints=1
+fi
+
+eval_one () {
+    local out="$1" ex="$2"; shift 2
+    [ -f "$out" ] && { echo "--- skip $out"; return 0; }
+    local extra=()
+    [ "$ex" = resnet18 ] && extra=(--extractor-checkpoint "$RN18")
+    [ "$ex" = classifier ] && extra=(--extractor-checkpoint "$CNN")
+    run_retry 2400 python -m superdiff_tpu.cli.evaluate --run-dir "$WA" \
+        --dataset-root "$ROOT" --num-samples 512 --batch-size 32 \
+        --method ddim --num-steps 100 \
+        --extractor "$ex" "${extra[@]}" --out "$out" \
+        && { cat "$out"; echo; }
+    cp "$out" "$ART/" 2>/dev/null
+    return 0
+}
+eval_one "$WA/eval_q_wideattn64_tb_rand512.json" random
+eval_one "$WA/eval_q_wideattn64_tb_rn18_512.json" resnet18
+[ -f "$CNN" ] && eval_one "$WA/eval_q_wideattn64_tb_cnn512.json" classifier
+
+if [ ! -s "$ART/bench_wideattn64.jsonl" ]; then
+    ONLY="wide256,wide-attn64" run_retry 3600 \
+        python scripts/bench_r4_width.py \
+        > "$ART/bench_wideattn64.jsonl" 2>/tmp/r5_stretch_bench.log
+    cat "$ART/bench_wideattn64.jsonl"
+fi
+echo "r5 stretch done"

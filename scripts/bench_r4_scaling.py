@@ -128,19 +128,28 @@ print(json.dumps({"n": N, "what": WHAT, "sec_per_step": dt}))
 '''
 
 
-def run_point(n, what):
+def run_point(n, what, repeats=2):
+    """Best-of-``repeats`` fresh subprocesses per point: this box has ONE
+    cpu (sched_getaffinity=1), so any concurrent host work inflates a
+    single timing by 10-30x (measured: an n=1 baseline under load ran
+    ~80 MFLOP/s). The min over independent runs is the low-contention
+    estimate; run the sweep on an otherwise-idle host regardless."""
     env = dict(os.environ,
                SUPERDIFF_TPU_PLATFORM="cpu",
                SUPERDIFF_TPU_CPU_DEVICES=str(n),
                JAX_PLATFORMS="cpu")
-    out = subprocess.run(
-        [sys.executable, "-c", CHILD % {"repo": REPO}, str(n), what],
-        capture_output=True, text=True, env=env, timeout=1800)
-    if out.returncode:
-        print(out.stderr[-2000:], file=sys.stderr)
-        raise SystemExit(f"point n={n} {what} failed")
-    rec = json.loads(out.stdout.strip().splitlines()[-1])
-    return rec
+    best = None
+    for _ in range(repeats):
+        out = subprocess.run(
+            [sys.executable, "-c", CHILD % {"repo": REPO}, str(n), what],
+            capture_output=True, text=True, env=env, timeout=1800)
+        if out.returncode:
+            print(out.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"point n={n} {what} failed")
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        if best is None or rec["sec_per_step"] < best["sec_per_step"]:
+            best = rec
+    return best
 
 
 def main():

@@ -21,9 +21,9 @@ cd "$(dirname "$0")/.."
 stamp () { echo "===== [$(date +%H:%M:%S)] $*"; }
 
 stamp "phase 1: chip queue (adjudication)"
-bash scripts/run_r5_chip_queue.sh >> /tmp/r5_queue.log 2>&1
-stamp "phase 1b: chip queue second pass (classifier evals)"
-bash scripts/run_r5_chip_queue.sh >> /tmp/r5_queue.log 2>&1
+bash scripts/run_r5_chip_queue2.sh >> /tmp/r5_queue2.log 2>&1
+stamp "phase 1b: chip queue second pass (stragglers)"
+bash scripts/run_r5_chip_queue2.sh >> /tmp/r5_queue2.log 2>&1
 
 stamp "phase 2: superdiff distillation (+ scaling sweep on the idle core)"
 if [ ! -s artifacts/scaling/bench.jsonl ]; then

@@ -45,23 +45,16 @@ if [ ! -f "$WA/config.yaml" ]; then
         --set training.keep_checkpoints=1
 fi
 
-eval_one () {
-    local out="$1" ex="$2"; shift 2
-    [ -f "$out" ] && { echo "--- skip $out"; return 0; }
-    local extra=()
-    [ "$ex" = resnet18 ] && extra=(--extractor-checkpoint "$RN18")
-    [ "$ex" = classifier ] && extra=(--extractor-checkpoint "$CNN")
-    run_retry 2400 python -m superdiff_tpu.cli.evaluate --run-dir "$WA" \
+OUT="$WA/eval_q_wideattn64_tb_m512.json"
+if [ ! -f "$OUT" ]; then
+    run_retry 3600 python -m superdiff_tpu.cli.evaluate --run-dir "$WA" \
         --dataset-root "$ROOT" --num-samples 512 --batch-size 32 \
         --method ddim --num-steps 100 \
-        --extractor "$ex" "${extra[@]}" --out "$out" \
-        && { cat "$out"; echo; }
-    cp "$out" "$ART/" 2>/dev/null
-    return 0
-}
-eval_one "$WA/eval_q_wideattn64_tb_rand512.json" random
-eval_one "$WA/eval_q_wideattn64_tb_rn18_512.json" resnet18
-[ -f "$CNN" ] && eval_one "$WA/eval_q_wideattn64_tb_cnn512.json" classifier
+        --extractor random,resnet18,classifier \
+        --extractor-checkpoint "resnet18=$RN18,classifier=$CNN" \
+        --out "$OUT" && { cat "$OUT"; echo; }
+    cp "$OUT" "$ART/" 2>/dev/null || true
+fi
 
 if [ ! -s "$ART/bench_wideattn64.jsonl" ]; then
     ONLY="wide256,wide-attn64" run_retry 3600 \

@@ -69,24 +69,25 @@ if [ ! -f "$SD/config.yaml" ]; then
         --set training.keep_checkpoints=1
 fi
 
-eval_one () {  # dir out extractor nsamples extra...
-    local dir="$1" out="$2" ex="$3" n="$4"; shift 4
+eval_one () {  # dir out nsamples extra...  (random + trained-cnn in one pass)
+    local dir="$1" out="$2" n="$3"; shift 3
     [ -f "$out" ] && { echo "--- skip $out"; return 0; }
-    local extra=()
-    [ "$ex" = classifier ] && extra=(--extractor-checkpoint "$CNN")
-    run_retry 2400 python -m superdiff_tpu.cli.evaluate --run-dir "$dir" \
+    local exs="random" extra=()
+    if [ -f "$CNN" ]; then
+        exs="random,classifier"
+        extra=(--extractor-checkpoint "classifier=$CNN")
+    fi
+    run_retry 3600 python -m superdiff_tpu.cli.evaluate --run-dir "$dir" \
         --dataset-root "$SROOT" --num-samples "$n" --batch-size 32 \
-        --extractor "$ex" "${extra[@]}" --out "$out" "$@" \
+        --extractor "$exs" "${extra[@]}" --out "$out" "$@" \
         && { cat "$out"; echo; }
     cp "$out" "$ART/" 2>/dev/null
     return 0
 }
 
 echo "========== [3] base student FID vs superposed test =========="
-eval_one "$SD" "$SD/eval_super_base_rand256.json" random 256 \
+eval_one "$SD" "$SD/eval_super_base_m256.json" 256 \
     --method ddim --num-steps 100
-[ -f "$CNN" ] && eval_one "$SD" "$SD/eval_super_base_cnn256.json" \
-    classifier 256 --method ddim --num-steps 100
 
 echo "========== [4] progressive distillation 8/4/2/1 =========="
 if [ ! -f "$SD/distill/s1/ema_params.npz" ]; then
@@ -98,10 +99,8 @@ echo "========== [5] student FID ladder =========="
 for N in 8 4 2 1; do
     SDIR="$SD/distill/s$N"
     [ -d "$SDIR" ] || continue
-    eval_one "$SDIR" "$SDIR/eval_super_s${N}_rand128.json" random 128 \
+    eval_one "$SDIR" "$SDIR/eval_super_s${N}_m128.json" 128 \
         --method ddim --num-steps "$N"
-    [ -f "$CNN" ] && eval_one "$SDIR" "$SDIR/eval_super_s${N}_cnn128.json" \
-        classifier 128 --method ddim --num-steps "$N"
 done
 
 echo "========== [6] few-step throughput =========="

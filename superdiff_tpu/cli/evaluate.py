@@ -44,20 +44,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "sampling.t_spacing (distilled students need "
                         "trailing)")
     p.add_argument("--extractor",
-                   choices=["diffusion", "random", "classifier",
-                            "resnet18", "densenet121", "hf"],
                    default="diffusion",
-                   help="feature space for FID. 'diffusion' uses this "
-                        "run's own bottleneck (not comparable across "
-                        "runs); 'random' is a fixed seeded projection; "
+                   help="feature space(s) for FID — one name or a comma "
+                        "list (sampling runs ONCE; each extractor scores "
+                        "the same generated set, amortizing the sampler "
+                        "compile). 'diffusion' uses this run's own "
+                        "bottleneck (not comparable across runs); "
+                        "'random' is a fixed seeded projection; "
                         "'classifier' loads a TRAINED in-framework "
                         "SmallCNN (save_classifier .npz) — the learned "
                         "feature space of record; "
                         "resnet18/densenet121/hf load a local checkpoint "
                         "(--extractor-checkpoint) shared across runs")
     p.add_argument("--extractor-checkpoint", default=None,
-                   help="local checkpoint path/dir for "
-                        "classifier/resnet18/densenet121/hf extractors")
+                   help="local checkpoint path/dir for classifier/"
+                        "resnet18/densenet121/hf extractors; with a comma "
+                        "list, pair per-extractor as NAME=PATH (e.g. "
+                        "'resnet18=a.npz,classifier=b.npz')")
     p.add_argument("--guidance", type=float, default=1.0,
                    help="classifier-free guidance scale; values != 1 "
                         "sample class-conditionally (implies "
@@ -176,26 +179,49 @@ def main(argv=None) -> int:
     if args.dataset_root:
         from superdiff_tpu.data import DataModule
 
+        valid = ("diffusion", "random", "classifier", "resnet18",
+                 "densenet121", "hf")
+        names = [e.strip() for e in args.extractor.split(",") if e.strip()]
+        for e in names:
+            if e not in valid:
+                raise SystemExit(f"unknown extractor {e!r} (have {valid})")
+        ckpts = {}
+        if args.extractor_checkpoint:
+            if "=" in args.extractor_checkpoint:
+                for pair in args.extractor_checkpoint.split(","):
+                    k, _, v = pair.partition("=")
+                    ckpts[k.strip()] = v.strip()
+            else:
+                ckpts = {e: args.extractor_checkpoint for e in names}
+
         dm = DataModule(cfg, args.dataset_root)
         # probe timestep must exist in the run's schedule (the default 100
         # would silently clamp to T-1 and extract noise features for T<=100)
         probe_t = min(100, cfg.training.num_timesteps - 1)
-        if args.extractor == "diffusion":
-            ex = FeatureExtractor("diffusion", params=ema, model=model,
-                                  schedule=schedule, timestep=probe_t)
-        elif args.extractor == "random":
-            ex = FeatureExtractor("random")
-        else:
-            ex = FeatureExtractor(args.extractor,
-                                  checkpoint=args.extractor_checkpoint)
-        real_batches = dm.device_batches("test", jax.random.PRNGKey(1))
+
+        def build_extractor(name):
+            if name == "diffusion":
+                return FeatureExtractor("diffusion", params=ema,
+                                        model=model, schedule=schedule,
+                                        timestep=probe_t)
+            if name == "random":
+                return FeatureExtractor("random")
+            return FeatureExtractor(name, checkpoint=ckpts.get(name))
+
         gen_batches = [{"image": gen[i:i + B],
                         "label": np.zeros(len(gen[i:i + B]), np.int32)}
                        for i in range(0, len(gen), B)]
-        fid = compute_fid(ex, real_batches, gen_batches,
-                          max_samples=args.num_samples)
-        results["fid"] = float(fid)
-        results["fid_extractor"] = args.extractor
+        results["fid_by_extractor"] = {}
+        for name in names:
+            ex = build_extractor(name)
+            real_batches = dm.device_batches("test", jax.random.PRNGKey(1))
+            fid = compute_fid(ex, real_batches, gen_batches,
+                              max_samples=args.num_samples)
+            results["fid_by_extractor"][name] = float(fid)
+        # single-extractor back-compat fields (what every earlier artifact
+        # and downstream parser reads)
+        results["fid"] = results["fid_by_extractor"][names[0]]
+        results["fid_extractor"] = names[0]
 
     # --- superposed log-densities ---
     if args.run_dir2:

@@ -211,3 +211,50 @@ def test_evaluate_cli_guided_conditional(trained_run, tree16, tmp_path):
     res2 = json.load(open(out2))
     assert res2["labels"] == "null" and res2["guidance"] == 1.0
     assert res2["sample_mean"] != res["sample_mean"]
+
+
+def test_evaluate_cli_multi_extractor_single_pass(trained_run, tree16,
+                                                  tmp_path):
+    """--extractor a,b,c samples ONCE and scores each feature space (the
+    round-5 amortization: one remote sampler compile per run instead of
+    one per extractor). Per-extractor checkpoints pair as NAME=PATH; the
+    single-extractor fields stay for downstream parsers."""
+    import jax
+
+    from superdiff_tpu.analysis.features import SmallCNN, save_classifier
+    from superdiff_tpu.cli.evaluate import main
+
+    clf = SmallCNN(num_classes=3, widths=(4, 8))
+    p = clf.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)))
+    ckpt = str(tmp_path / "clf.npz")
+    save_classifier(ckpt, jax.device_get(p), (4, 8), 3)
+
+    out = str(tmp_path / "evalm.json")
+    rc = main(["--run-dir", trained_run, "--dataset-root", tree16,
+               "--num-samples", "8", "--batch-size", "8",
+               "--method", "ddim", "--num-steps", "5",
+               "--extractor", "random,classifier",
+               "--extractor-checkpoint", f"classifier={ckpt}",
+               "--out", out])
+    assert rc == 0
+    res = json.load(open(out))
+    fids = res["fid_by_extractor"]
+    assert set(fids) == {"random", "classifier"}
+    assert all(np.isfinite(v) and v >= 0 for v in fids.values())
+    # back-compat: fid/fid_extractor mirror the first listed space
+    assert res["fid"] == fids["random"]
+    assert res["fid_extractor"] == "random"
+
+
+def test_evaluate_cli_rejects_unknown_extractor(trained_run, tree16,
+                                                tmp_path):
+    import pytest as _pytest
+
+    from superdiff_tpu.cli.evaluate import main
+
+    with _pytest.raises(SystemExit, match="unknown extractor"):
+        main(["--run-dir", trained_run, "--dataset-root", tree16,
+              "--num-samples", "8", "--batch-size", "8",
+              "--method", "ddim", "--num-steps", "5",
+              "--extractor", "random,bogus",
+              "--out", str(tmp_path / "x.json")])

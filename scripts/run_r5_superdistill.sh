@@ -42,6 +42,11 @@ run_retry () {
     return 1
 }
 
+# Priority inversion under the round-5 clock (VERDICT #3/#5 outrank #6):
+# land the flagship ledger + serving numbers before the long superdiff
+# campaign. run_r5_ledger.sh is idempotent — a no-op if already done.
+bash scripts/run_r5_ledger.sh > /tmp/r5_ledger.log 2>&1 || true
+
 [ -d "$TB_RUN" ] || { echo "missing $TB_RUN"; exit 1; }
 [ -d "$PNEU_RUN" ] || { echo "missing $PNEU_RUN"; exit 1; }
 
@@ -92,11 +97,11 @@ eval_one "$SD" "$SD/eval_super_base_m256.json" 256 \
 echo "========== [4] progressive distillation 8/4/2/1 =========="
 if [ ! -f "$SD/distill/s1/ema_params.npz" ]; then
     run_retry 10800 python -m superdiff_tpu.cli.distill --run-dir "$SD" \
-        --dataset-root "$SROOT" --steps 8,4,2,1 --phase-epochs 60
+        --dataset-root "$SROOT" --steps 4,2,1 --phase-epochs 60
 fi
 
 echo "========== [5] student FID ladder =========="
-for N in 8 4 2 1; do
+for N in 4 2 1; do
     SDIR="$SD/distill/s$N"
     [ -d "$SDIR" ] || continue
     eval_one "$SDIR" "$SDIR/eval_super_s${N}_m128.json" 128 \

@@ -58,10 +58,12 @@ if [ ! -f "$ART/pipeline_wide256.txt" ]; then
 fi
 
 echo "========== [3] serving ledger at the flagship pair =========="
+RUN2=()
+[ -d "$PNEU_WIDE/checkpoints" ] && RUN2=(RUN_DIR2="$PNEU_WIDE")
 if [ ! -s "$ART/serve_png.jsonl" ]; then
-    RUN_DIR="$TB_WIDE" RUN_DIR2="$PNEU_WIDE" \
+    env RUN_DIR="$TB_WIDE" "${RUN2[@]}" \
     CONCURRENCIES="1,4,8,16" FORMAT=png \
-        run_retry 7200 python scripts/bench_r4_serve.py \
+        timeout --kill-after=20 7200 python scripts/bench_r4_serve.py \
         > "$ART/serve_png.jsonl" 2>/tmp/r5_serve_png.log
     cat "$ART/serve_png.jsonl"
 fi

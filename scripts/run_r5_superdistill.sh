@@ -54,7 +54,7 @@ echo "========== [1] superposed dataset tree =========="
 run_retry 7200 python scripts/build_super_tree.py \
     --run-dir "$TB_RUN" --run-dir2 "$PNEU_RUN" \
     --root "$SROOT" --task "$STASK" \
-    --train 2048 --val 128 --test 512 || exit 1
+    --train 1536 --val 128 --test 384 || exit 1
 cp "$SROOT/$STASK/meta.json" "$ART/tree_meta.json" 2>/dev/null
 
 echo "========== [2] base student (flagship preset, 120ep) =========="

@@ -33,7 +33,7 @@ run_retry () {
 
 echo "========== [1] wide256 train throughput + norm A/B =========="
 if [ ! -s "$ART/train_wide256.jsonl" ]; then
-    PRESETS="wide256:32:64" GRAD_PRESET="wide256" \
+    PRESETS="wide256:32" GRAD_PRESET="wide256" \
         run_retry 3600 python scripts/bench_r3_train.py \
         > "$ART/train_wide256.jsonl" 2>/tmp/r5_train_bench.log
     cat "$ART/train_wide256.jsonl"
@@ -62,7 +62,7 @@ RUN2=()
 [ -d "$PNEU_WIDE/checkpoints" ] && RUN2=(RUN_DIR2="$PNEU_WIDE")
 if [ ! -s "$ART/serve_png.jsonl" ]; then
     env RUN_DIR="$TB_WIDE" "${RUN2[@]}" \
-    CONCURRENCIES="1,4,8,16" FORMAT=png \
+    CONCURRENCIES="1,4,8,16" FORMAT=png SPECS="dpmpp-10,superdiff-1000" \
         timeout --kill-after=20 7200 python scripts/bench_r4_serve.py \
         > "$ART/serve_png.jsonl" 2>/tmp/r5_serve_png.log
     cat "$ART/serve_png.jsonl"

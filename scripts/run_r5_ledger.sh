@@ -62,7 +62,7 @@ RUN2=()
 [ -d "$PNEU_WIDE/checkpoints" ] && RUN2=(RUN_DIR2="$PNEU_WIDE")
 if [ ! -s "$ART/serve_png.jsonl" ]; then
     env RUN_DIR="$TB_WIDE" "${RUN2[@]}" \
-    CONCURRENCIES="1,4,8,16" FORMAT=png SPECS="dpmpp-10,superdiff-1000" \
+    CONCURRENCIES="1,4,8,16" FORMAT=png SPECS="dpmpp-10" \
         timeout --kill-after=20 7200 python scripts/bench_r4_serve.py \
         > "$ART/serve_png.jsonl" 2>/tmp/r5_serve_png.log
     cat "$ART/serve_png.jsonl"

@@ -54,7 +54,7 @@ echo "========== [1] superposed dataset tree =========="
 run_retry 7200 python scripts/build_super_tree.py \
     --run-dir "$TB_RUN" --run-dir2 "$PNEU_RUN" \
     --root "$SROOT" --task "$STASK" \
-    --train 1536 --val 128 --test 384 || exit 1
+    --train 1024 --val 128 --test 384 || exit 1
 cp "$SROOT/$STASK/meta.json" "$ART/tree_meta.json" 2>/dev/null
 
 echo "========== [2] base student (flagship preset, 120ep) =========="
@@ -138,14 +138,6 @@ if [ -f "$CNN" ]; then
     [ -f "$LD/s1_student.json" ] || run_retry 1200 \
         python scripts/eval_label_dist.py --classifier "$CNN" \
         --npy /tmp/r5_ld_s1/samples.npy --out "$LD/s1_student.json"
-    sample_npy "$TB_RUN" /tmp/r5_ld_tb --method ddim --num-steps 100
-    [ -f "$LD/tb_model.json" ] || run_retry 1200 \
-        python scripts/eval_label_dist.py --classifier "$CNN" \
-        --npy /tmp/r5_ld_tb/samples.npy --out "$LD/tb_model.json"
-    sample_npy "$PNEU_RUN" /tmp/r5_ld_pneu --method ddim --num-steps 100
-    [ -f "$LD/pneu_model.json" ] || run_retry 1200 \
-        python scripts/eval_label_dist.py --classifier "$CNN" \
-        --npy /tmp/r5_ld_pneu/samples.npy --out "$LD/pneu_model.json"
 fi
 
 echo "r5 superdistill campaign done"

@@ -91,7 +91,7 @@ else:                                       # EP SuperDiff (2 models)
     #   N=1  sequential 2-model superdiff, batch 2 (device does both models)
     #   N>=2 mesh (data=N/2, model=2), batch 2N (each device: one model,
     #        4 examples)
-    from superdiff_tpu.diffusion import superdiff_sample
+    from superdiff_tpu.diffusion.superdiff import superdiff_sample
     from superdiff_tpu.parallel.ep import make_ep_eps_fn
 
     schedule = make_schedule(20)

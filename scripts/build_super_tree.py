@@ -99,7 +99,16 @@ def main(argv=None) -> int:
             # keep the batch counter aligned so re-runs extend, not repeat
             bi += (count + B - 1) // B
             continue
-        written, tic = 0, time.time()
+        # resume a partially built split at the last whole batch: the
+        # PRNG key is (seed + bi), so aligning bi to the completed batch
+        # count regenerates the identical continuation (a killed client
+        # — e.g. the single-tenant compile-service wedge — costs only
+        # the partial batch, not the split)
+        written = (have // B) * B
+        bi += written // B
+        tic = time.time()
+        if written:
+            print(f"[{split}] resuming at {written}/{count}")
         while written < count:
             xs, logq = jitted(jax.random.PRNGKey(args.seed + bi), ema, ema2)
             xs = np.asarray(xs)

@@ -130,6 +130,14 @@ class ModelConfig:
     # top levels where the round-3 profile puts 52% of the step
     # (BASELINE.md); None keeps the preset's value.
     num_res_blocks: Optional[Tuple[int, ...]] = None
+    # Optional preset override: feature-map sides (post pixel-shuffle) that
+    # get self-attention in the down path + mid ("64,32,16" puts S=4096
+    # full-image-scale attention at the 64-per-side level — the regime
+    # where the Pallas flash bwd measured 2x XLA, BASELINE.md round-4
+    # long-seq ledger; only the fused kernel makes that trainable at
+    # production batch). The preset's up-path policy is unchanged. None
+    # keeps the preset's value.
+    attn_resolutions: Optional[Tuple[int, ...]] = None
     dropout: float = 0.0
     # Rematerialize ResBlocks/attention in the backward pass
     # (jax.checkpoint): ~num_res_blocks x less activation HBM during

@@ -165,6 +165,12 @@ def model_from_config(cfg) -> CondUNet:
         # one entry -> uniform int; several -> per-level tuple (CondUNet
         # validates the length against the preset's channel_mults)
         overrides["num_res_blocks"] = nrb[0] if len(nrb) == 1 else tuple(nrb)
+    ar = getattr(cfg.model, "attn_resolutions", None)
+    if ar:
+        # down+mid attention placement only; the preset's up-path policy
+        # (up_attn_resolutions) is deliberately kept — matches the
+        # flagship's measured down+mid-only policy (presets.py attn256d).
+        overrides["attn_resolutions"] = tuple(ar)
     dtypes = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
     nd = getattr(cfg.model, "norm_dtype", "float32")
     if nd not in dtypes or cfg.model.compute_dtype not in dtypes:

@@ -94,3 +94,21 @@ def test_model_num_res_blocks_override():
     cfg = load_config(overrides=["model.preset=attn256s"])
     assert cfg.model.num_res_blocks is None
     assert model_from_config(cfg).num_res_blocks == (1, 2, 2, 2, 2)
+
+
+def test_model_attn_resolutions_override():
+    """model.attn_resolutions reaches the built model's down+mid policy
+    while the preset's up-path policy is kept (the round-5 stretch
+    wideattn64 variant: S=4096 attention at the 64-per-side level)."""
+    from superdiff_tpu.models.presets import model_from_config
+
+    cfg = load_config(overrides=["model.preset=wide256",
+                                 "model.attn_resolutions=64,32,16"])
+    assert cfg.model.attn_resolutions == (64, 32, 16)
+    m = model_from_config(cfg)
+    assert m.attn_resolutions == (64, 32, 16)
+    assert m.up_attn_resolutions == (16,)
+
+    cfg = load_config(overrides=["model.preset=wide256"])
+    assert cfg.model.attn_resolutions is None
+    assert model_from_config(cfg).attn_resolutions == (32, 16)
